@@ -1,0 +1,115 @@
+"""Host-side (numpy/cv2) augmentation pipeline.
+
+Mirrors the reference preprocessing exactly (`/root/reference/dataloader/
+dataloader.py:8-54`, `/root/reference/utils/transforms.py`):
+
+  TrainPre: random horizontal mirror -> random scale from
+  `train_scale_array` (bilinear img / nearest gt) -> ImageNet-normalize BOTH
+  rgb and modal-x -> random crop + center-pad to (H, W) with pad value 0 for
+  images and 255 for labels.
+
+Outputs stay HWC (channel-last) — the TPU model is NHWC-native, unlike the
+reference's CHW transpose (dataloader.py:47-48).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # pragma: no cover
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def normalize(img, mean, std):
+    """(img/255 - mean) / std  (utils/transforms.py:182-187)."""
+    img = img.astype(np.float32) / 255.0
+    return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def _resize(img, sw, sh, nearest=False):
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+    return cv2.resize(img, (sw, sh), interpolation=interp)
+
+
+def random_mirror(rng, rgb, gt, modal_x):
+    if rng.random() >= 0.5:
+        rgb = rgb[:, ::-1]
+        gt = gt[:, ::-1]
+        modal_x = modal_x[:, ::-1]
+    return np.ascontiguousarray(rgb), np.ascontiguousarray(gt), np.ascontiguousarray(modal_x)
+
+
+def random_scale(rng, rgb, gt, modal_x, scales):
+    scale = scales[int(rng.integers(len(scales)))]
+    sh = int(rgb.shape[0] * scale)
+    sw = int(rgb.shape[1] * scale)
+    return (
+        _resize(rgb, sw, sh),
+        _resize(gt, sw, sh, nearest=True),
+        _resize(modal_x, sw, sh),
+        scale,
+    )
+
+
+def generate_random_crop_pos(rng, ori_size, crop_size):
+    h, w = ori_size
+    crop_h, crop_w = crop_size
+    pos_h = int(rng.integers(0, h - crop_h + 2)) if h > crop_h else 0
+    pos_w = int(rng.integers(0, w - crop_w + 2)) if w > crop_w else 0
+    return pos_h, pos_w
+
+
+def pad_image_to_shape(img, shape, value):
+    """Center-pad to at least `shape`; returns (img, margin[t,b,l,r])."""
+    pad_h = max(0, shape[0] - img.shape[0])
+    pad_w = max(0, shape[1] - img.shape[1])
+    margin = (pad_h // 2, pad_h - pad_h // 2, pad_w // 2, pad_w - pad_w // 2)
+    if pad_h or pad_w:
+        pad = [(margin[0], margin[1]), (margin[2], margin[3])]
+        if img.ndim == 3:
+            pad.append((0, 0))
+        img = np.pad(img, pad, mode="constant", constant_values=value)
+    return img, margin
+
+
+def random_crop_pad_to_shape(img, crop_pos, crop_size, pad_value):
+    start_h, start_w = crop_pos
+    crop_h, crop_w = crop_size
+    img_crop = img[start_h : start_h + crop_h, start_w : start_w + crop_w]
+    return pad_image_to_shape(img_crop, crop_size, pad_value)
+
+
+class TrainPre:
+    def __init__(self, norm_mean, norm_std, config):
+        self.norm_mean = norm_mean
+        self.norm_std = norm_std
+        self.config = config
+
+    def __call__(self, rng, rgb, gt, modal_x):
+        cfg = self.config
+        rgb, gt, modal_x = random_mirror(rng, rgb, gt, modal_x)
+        if cfg.train_scale_array is not None:
+            rgb, gt, modal_x, _ = random_scale(
+                rng, rgb, gt, modal_x, cfg.train_scale_array
+            )
+
+        rgb = normalize(rgb, self.norm_mean, self.norm_std)
+        modal_x = normalize(modal_x, self.norm_mean, self.norm_std)
+
+        crop_size = (cfg.image_height, cfg.image_width)
+        crop_pos = generate_random_crop_pos(rng, rgb.shape[:2], crop_size)
+        p_rgb, _ = random_crop_pad_to_shape(rgb, crop_pos, crop_size, 0)
+        p_gt, _ = random_crop_pad_to_shape(gt, crop_pos, crop_size, 255)
+        p_x, _ = random_crop_pad_to_shape(modal_x, crop_pos, crop_size, 0)
+        return (
+            p_rgb.astype(np.float32),
+            p_gt.astype(np.int32),
+            p_x.astype(np.float32),
+        )
+
+
+class ValPre:
+    def __call__(self, rng, rgb, gt, modal_x):
+        return rgb, gt, modal_x

@@ -1,0 +1,214 @@
+"""Sliding-window multi-scale evaluator.
+
+Metric-level faithful re-implementation of the reference evaluator's RGB-X
+path (`/root/reference/engine/evaluator.py:433-559`), including its quirks:
+
+  * per-scale cv2 bilinear resize of both modalities (nearest for 2-D
+    modal-x) (evaluator.py:438-443)
+  * whole-image branch when EITHER dimension fits the crop (OR condition,
+    evaluator.py:457), with center pad + margin crop
+  * window grid with the reference's stride index swap — x steps by the
+    ROW stride and window x-extent uses crop height (evaluator.py:474-479)
+    — reproduced verbatim since published mIoU was measured under it
+  * flip TTA sums LOGITS then exponentiates: exp(logit + logit_flipped)
+    (evaluator.py:514-520); per-scale scores are bilinearly resized to the
+    original shape and summed; argmax at the end (evaluator.py:446-449)
+  * eval-time normalization: ImageNet stats for 3-channel modal-x, (0,1)
+    for 2-D modal-x (evaluator.py:535-539)
+
+TPU design: every network invocation is padded to a static crop shape, so
+jit compiles once per distinct window shape (typically 1-2 shapes per
+dataset); flip TTA rides the batch axis in the same call instead of a second
+sequential invocation.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigma_tpu.data.transforms import normalize, pad_image_to_shape
+from sigma_tpu.engine.logger import get_logger
+from sigma_tpu.utils.metrics import compute_score, hist_info
+
+try:  # pragma: no cover
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+class SlidingEvaluator:
+    def __init__(
+        self,
+        model,
+        num_classes: int,
+        norm_mean,
+        norm_std,
+        multi_scales: Sequence[float] = (1.0,),
+        is_flip: bool = False,
+        eval_crop_size: Sequence[int] = (480, 640),
+        stride_rate: float = 2 / 3,
+    ):
+        self.model = model
+        self.class_num = num_classes
+        self.norm_mean = np.asarray(norm_mean, np.float32)
+        self.norm_std = np.asarray(norm_std, np.float32)
+        self.multi_scales = multi_scales
+        self.is_flip = is_flip
+        self.eval_crop_size = tuple(eval_crop_size)
+        self.stride_rate = stride_rate
+        self._jitted: dict = {}
+
+    # --- device side ---------------------------------------------------
+    def _forward(self, variables, rgb, modal_x):
+        shape = rgb.shape
+        if shape not in self._jitted:
+            model = self.model
+
+            def fwd(variables, rgb, modal_x):
+                logits = model.apply(variables, rgb, modal_x)
+                if logits.shape[0] == 2:  # flip TTA on the batch axis
+                    logits = logits[0] + logits[1, :, ::-1]
+                else:
+                    logits = logits[0]
+                return jnp.exp(logits.astype(jnp.float32))
+
+            self._jitted[shape] = jax.jit(fwd)
+        return self._jitted[shape](variables, rgb, modal_x)
+
+    def _score_window(self, variables, img, modal_x, crop_size):
+        """normalize + pad + forward; returns (score HWC np, margin)."""
+        p_img = normalize(img, self.norm_mean, self.norm_std)
+        if modal_x.ndim == 2:
+            p_x = normalize(modal_x, 0.0, 1.0)
+        else:
+            p_x = normalize(modal_x, self.norm_mean, self.norm_std)
+        p_img, margin = pad_image_to_shape(p_img, crop_size, 0)
+        p_x, _ = pad_image_to_shape(p_x, crop_size, 0)
+        if p_x.ndim == 2:
+            p_x = np.stack([p_x, p_x, p_x], axis=-1)
+
+        if self.is_flip:
+            rgb = np.stack([p_img, p_img[:, ::-1]])
+            mx = np.stack([p_x, p_x[:, ::-1]])
+        else:
+            rgb = p_img[None]
+            mx = p_x[None]
+        score = np.asarray(self._forward(variables, jnp.asarray(rgb), jnp.asarray(mx)))
+        return score, margin
+
+    # --- host-side sliding logic ----------------------------------------
+    def scale_process(self, variables, img, modal_x, ori_shape, crop_size,
+                      stride_rate):
+        new_rows, new_cols = img.shape[:2]
+
+        if new_cols <= crop_size[1] or new_rows <= crop_size[0]:
+            score, margin = self._score_window(variables, img, modal_x, crop_size)
+            score = score[
+                margin[0] : score.shape[0] - margin[1],
+                margin[2] : score.shape[1] - margin[3],
+            ]
+        else:
+            stride = (
+                int(np.ceil(crop_size[0] * stride_rate)),
+                int(np.ceil(crop_size[1] * stride_rate)),
+            )
+            img_pad, margin = pad_image_to_shape(img, crop_size, 0)
+            x_pad, _ = pad_image_to_shape(modal_x, crop_size, 0)
+            pad_rows, pad_cols = img_pad.shape[:2]
+            r_grid = int(np.ceil((pad_rows - crop_size[0]) / stride[0])) + 1
+            c_grid = int(np.ceil((pad_cols - crop_size[1]) / stride[1])) + 1
+            acc = np.zeros((pad_rows, pad_cols, self.class_num), np.float32)
+            for gy in range(r_grid):
+                for gx in range(c_grid):
+                    # NOTE: stride/extent index swap kept from the reference
+                    # (evaluator.py:474-479)
+                    s_x = gx * stride[0]
+                    s_y = gy * stride[1]
+                    e_x = min(s_x + crop_size[0], pad_cols)
+                    e_y = min(s_y + crop_size[1], pad_rows)
+                    s_x = e_x - crop_size[0]
+                    s_y = e_y - crop_size[1]
+                    img_sub = img_pad[s_y:e_y, s_x:e_x]
+                    x_sub = x_pad[s_y:e_y, s_x:e_x]
+                    win, tm = self._score_window(variables, img_sub, x_sub, crop_size)
+                    win = win[
+                        tm[0] : win.shape[0] - tm[1],
+                        tm[2] : win.shape[1] - tm[3],
+                    ]
+                    acc[s_y:e_y, s_x:e_x] += win
+            score = acc[
+                margin[0] : acc.shape[0] - margin[1],
+                margin[2] : acc.shape[1] - margin[3],
+            ]
+
+        return cv2.resize(
+            score, (ori_shape[1], ori_shape[0]), interpolation=cv2.INTER_LINEAR
+        )
+
+    def sliding_eval(self, variables, img, modal_x):
+        ori_rows, ori_cols = img.shape[:2]
+        processed = np.zeros((ori_rows, ori_cols, self.class_num), np.float32)
+        for s in self.multi_scales:
+            img_s = cv2.resize(
+                img, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
+            )
+            if modal_x.ndim == 2:
+                x_s = cv2.resize(
+                    modal_x, None, fx=s, fy=s, interpolation=cv2.INTER_NEAREST
+                )
+            else:
+                x_s = cv2.resize(
+                    modal_x, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
+                )
+            processed += self.scale_process(
+                variables,
+                img_s,
+                x_s,
+                (ori_rows, ori_cols),
+                self.eval_crop_size,
+                self.stride_rate,
+            )
+        return processed.argmax(2)
+
+    # --- dataset loop ----------------------------------------------------
+    def run(self, variables, dataset, save_fn: Optional[Callable] = None,
+            log_every: int = 50):
+        """Evaluate all items; returns (mean_iou*100, result_lines)."""
+        logger = get_logger()
+        n = len(dataset)
+        hist = np.zeros((self.class_num, self.class_num), np.int64)
+        correct = labeled = 0
+        t0 = time.time()
+        for idx in range(n):
+            item = dataset[idx]
+            pred = self.sliding_eval(variables, item["data"], item["modal_x"])
+            h, l, c = hist_info(
+                self.class_num, pred, item["label"].astype(np.int64)
+            )
+            hist += h
+            labeled += l
+            correct += c
+            if save_fn is not None:
+                save_fn(item["fn"], pred)
+            if (idx + 1) % log_every == 0:
+                logger.info(
+                    "eval %d/%d (%.2fs/img)", idx + 1, n,
+                    (time.time() - t0) / (idx + 1),
+                )
+        iou, mean_iou, miou_nb, fwiou, macc, pacc = compute_score(
+            hist, correct, labeled
+        )
+        return mean_iou * 100.0, dict(
+            iou=iou,
+            mean_iou=mean_iou,
+            mean_iou_no_back=miou_nb,
+            freq_iou=fwiou,
+            mean_pixel_acc=macc,
+            pixel_acc=pacc,
+        )

@@ -1,0 +1,104 @@
+"""Top-level EncoderDecoder network and model registry.
+
+Reference: `/root/reference/models/builder.py:13-166`. The flax module is
+pure: it maps (rgb, modal_x) -> logits upsampled to the input resolution
+(`encode_decode`, builder.py:128-144). The training loss (CE with
+ignore-index 255, builder.py:146-156) lives in `segmentation_loss` so the
+same module serves train and eval.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sigma_tpu.models.common import LN_EPS, resize_bilinear
+from sigma_tpu.models.decoders import MambaDecoder, MLPDecoder
+from sigma_tpu.models.sigma_encoder import SIGMA_VARIANTS, SigmaEncoder
+
+Dtype = Any
+
+
+class EncoderDecoder(nn.Module):
+    """Sigma RGB-X segmentation network: Siamese VMamba encoder + decoder."""
+
+    num_classes: int
+    backbone: str = "sigma_tiny"
+    decoder: str = "MambaDecoder"
+    decoder_embed_dim: int = 512  # MLPDecoder only
+    drop_path_rate: float | None = None  # None -> variant default
+    ln_eps: float = LN_EPS
+    scan_chunk: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, modal_x, deterministic: bool = True):
+        if self.backbone not in SIGMA_VARIANTS:
+            raise ValueError(
+                f"unknown backbone {self.backbone!r}; "
+                f"options: {sorted(SIGMA_VARIANTS)}"
+            )
+        variant = dict(SIGMA_VARIANTS[self.backbone])
+        if self.drop_path_rate is not None:
+            variant["drop_path_rate"] = self.drop_path_rate
+        dims = variant["dims"]
+
+        feats = SigmaEncoder(
+            **variant,
+            ln_eps=self.ln_eps,
+            scan_chunk=self.scan_chunk,
+            dtype=self.dtype,
+            name="backbone",
+        )(rgb, modal_x, deterministic=deterministic)
+
+        if self.decoder == "MambaDecoder":
+            logits = MambaDecoder(
+                num_classes=self.num_classes,
+                embed_dim=dims[0],
+                ln_eps=self.ln_eps,
+                scan_chunk=self.scan_chunk,
+                dtype=self.dtype,
+                name="decode_head",
+            )(feats, deterministic=deterministic)
+        elif self.decoder == "MLPDecoder":
+            logits = MLPDecoder(
+                num_classes=self.num_classes,
+                embed_dim=self.decoder_embed_dim,
+                dtype=self.dtype,
+                name="decode_head",
+            )(feats, deterministic=deterministic)
+        else:
+            raise ValueError(f"unknown decoder {self.decoder!r}")
+
+        h, w = rgb.shape[1:3]
+        if logits.shape[1:3] != (h, w):
+            logits = resize_bilinear(logits, h, w)
+        return logits
+
+
+def build_model(cfg) -> EncoderDecoder:
+    """Construct the network from a config namespace (configs/*.py)."""
+    return EncoderDecoder(
+        num_classes=cfg.num_classes,
+        backbone=cfg.backbone,
+        decoder=cfg.decoder,
+        decoder_embed_dim=getattr(cfg, "decoder_embed_dim", 512),
+        dtype=jnp.bfloat16 if getattr(cfg, "bf16", False) else jnp.float32,
+    )
+
+
+def segmentation_loss(logits, labels, ignore_index: int = 255):
+    """Mean CE over valid pixels (torch CrossEntropyLoss(ignore_index=255)).
+
+    logits: (B, H, W, C) float; labels: (B, H, W) int.
+    """
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / count

@@ -1,0 +1,186 @@
+"""PyTorch VMamba checkpoint -> flax params converter.
+
+Reproduces the reference's pretrained ingest (`/root/reference/models/
+encoders/vmamba.py:2111-2191`): VMamba ImageNet classification checkpoints
+are loaded into the Siamese trunk with key remapping
+(`patch_embed.proj -> patch_embed.0`, `ln_1 -> norm`,
+`self_attention -> op`) and strict=False (classifier head and missing
+outnorms are tolerated). Because the trunk is weight-shared (Siamese), one
+copy fills both modalities by construction.
+
+Layout conventions converted here:
+  torch Linear   (out, in)        -> flax Dense kernel (in, out)        [T]
+  torch Conv2d   (O, I, kh, kw)   -> flax Conv kernel (kh, kw, I, O)
+  depthwise conv (C, 1, kh, kw)   -> (kh, kw, 1, C)
+  x_proj_weight  (K, C, D)        -> (K, D, C)
+  dt_projs_weight(K, D, R)        -> (K, R, D)
+  LayerNorm weight/bias           -> scale/bias
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+from sigma_tpu.engine.logger import get_logger
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.npz checkpoint into {name: np.ndarray}."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch  # CPU-only wheel is available in this image
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "state_dict", "module"):
+        if isinstance(obj, dict) and key in obj:
+            obj = obj[key]
+            break
+    return {
+        k: v.detach().cpu().numpy()
+        for k, v in obj.items()
+        if hasattr(v, "detach")
+    }
+
+
+def _strip(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+def _torch_candidates(flax_path: tuple[str, ...]) -> list[tuple[str, Any]]:
+    """Map a flax param path (under the VSSM trunk) to candidate torch keys
+    with their transform. Returns [(torch_key, transform_fn), ...]."""
+    t = lambda w: w.T
+    conv = lambda w: np.transpose(w, (2, 3, 1, 0))
+    xproj = lambda w: np.transpose(w, (0, 2, 1))
+    dtw = lambda w: np.transpose(w, (0, 2, 1))
+    ident = lambda w: w
+
+    parts = list(flax_path)
+    out: list[tuple[str, Any]] = []
+
+    def add(key, fn=ident):
+        out.append((key, fn))
+
+    if parts[0] == "patch_embed":
+        sub, leaf = parts[1], parts[2]
+        if sub == "proj":
+            fn = conv if leaf == "kernel" else ident
+            tleaf = "weight" if leaf == "kernel" else "bias"
+            add(f"patch_embed.proj.{tleaf}", fn)
+            add(f"patch_embed.0.{tleaf}", fn)
+        else:  # norm
+            tleaf = "weight" if leaf == "scale" else "bias"
+            add(f"patch_embed.norm.{tleaf}")
+            add(f"patch_embed.2.{tleaf}")
+        return out
+
+    if parts[0].startswith("outnorm"):
+        tleaf = "weight" if parts[1] == "scale" else "bias"
+        add(f"{parts[0]}.{tleaf}")
+        return out
+
+    if parts[0].startswith("layers_"):
+        seg = parts[0].split("_")
+        i = seg[1]
+        if seg[2] == "downsample":
+            sub, leaf = parts[1], parts[2]
+            if sub == "reduction":
+                add(f"layers.{i}.downsample.reduction.weight", t)
+            else:
+                tleaf = "weight" if leaf == "scale" else "bias"
+                add(f"layers.{i}.downsample.norm.{tleaf}")
+            return out
+        j = seg[3]
+        base_ops = [
+            f"layers.{i}.blocks.{j}.self_attention",
+            f"layers.{i}.blocks.{j}.op",
+        ]
+        if parts[1] == "norm":
+            tleaf = "weight" if parts[2] == "scale" else "bias"
+            add(f"layers.{i}.blocks.{j}.ln_1.{tleaf}")
+            add(f"layers.{i}.blocks.{j}.norm.{tleaf}")
+            return out
+        if parts[1] == "op":
+            rest = parts[2:]
+            for base in base_ops:
+                if rest[0] in ("in_proj", "out_proj"):
+                    if rest[1] == "kernel":
+                        add(f"{base}.{rest[0]}.weight", t)
+                    else:
+                        add(f"{base}.{rest[0]}.bias")
+                elif rest[0] == "conv2d":
+                    if rest[1] == "kernel":
+                        add(f"{base}.conv2d.weight", conv)
+                    else:
+                        add(f"{base}.conv2d.bias")
+                elif rest[0] == "ssm":
+                    name = rest[1]
+                    fn = {
+                        "x_proj_weight": xproj,
+                        "dt_projs_weight": dtw,
+                    }.get(name, ident)
+                    add(f"{base}.{name}", fn)
+                elif rest[0] == "out_norm":
+                    tleaf = "weight" if rest[1] == "scale" else "bias"
+                    add(f"{base}.out_norm.{tleaf}")
+            return out
+    return out
+
+
+def convert_vmamba_trunk(flax_trunk: Any, sd: Dict[str, np.ndarray]):
+    """Fill a VSSMBackbone params tree from a torch VMamba state dict.
+
+    Returns (new_tree, loaded_keys, missing_paths)."""
+    import jax
+
+    sd = _strip(sd)
+    loaded, missing = [], []
+
+    def fill(path, leaf):
+        parts = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        for key, fn in _torch_candidates(parts):
+            if key in sd:
+                w = fn(np.asarray(sd[key]))
+                if w.shape != leaf.shape:
+                    raise ValueError(
+                        f"shape mismatch for {'.'.join(parts)}: ckpt "
+                        f"{w.shape} vs model {leaf.shape}"
+                    )
+                loaded.append(key)
+                return w.astype(np.asarray(leaf).dtype)
+        missing.append(".".join(parts))
+        return leaf
+
+    new_tree = jax.tree_util.tree_map_with_path(fill, flax_trunk)
+    return new_tree, loaded, missing
+
+
+def load_vmamba_into_params(params: Any, ckpt_path: str):
+    """Load a VMamba ImageNet checkpoint into the `backbone/vssm` subtree of
+    a full EncoderDecoder params tree (strict=False semantics)."""
+    logger = get_logger()
+    sd = load_torch_state_dict(ckpt_path)
+    trunk = params["backbone"]["vssm"]
+    new_trunk, loaded, missing = convert_vmamba_trunk(trunk, sd)
+    unexpected = sorted(set(_strip(sd)) - set(loaded))
+    logger.info(
+        "vmamba ingest: %d tensors loaded, %d missing (fresh init), "
+        "%d unexpected (dropped, e.g. classifier head)",
+        len(loaded), len(missing), len(unexpected),
+    )
+    if missing:
+        logger.debug("missing: %s", missing)
+    out = dict(params)
+    backbone = dict(out["backbone"])
+    backbone["vssm"] = new_trunk
+    out["backbone"] = backbone
+    return out

@@ -1,14 +1,20 @@
 """Test harness config: run everything on a virtual 8-device CPU mesh.
 
-Must run before the first `import jax` anywhere in the test process.
+Note: this environment's 'axon' TPU plugin ignores the JAX_PLATFORMS env
+var, so the platform is forced via jax.config instead. XLA_FLAGS must be in
+the environment before the CPU backend is first initialized.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,227 @@
+"""End-to-end engine tests: data pipeline, train step on an 8-device mesh,
+checkpoint round-trip, sliding evaluator, LR schedule, optimizer masks."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from configs import get_config
+from sigma_tpu.data import RGBXDataset, TrainLoader, TrainPre, ValPre
+from sigma_tpu.engine.checkpoint import (
+    prune_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from sigma_tpu.engine.evaluator import SlidingEvaluator
+from sigma_tpu.engine.optim import build_optimizer, decay_mask, frozen_ssm_mask
+from sigma_tpu.engine.train import create_train_state, make_train_step
+from sigma_tpu.models.builder import build_model
+from sigma_tpu.parallel import make_mesh, shard_batch
+from sigma_tpu.utils.lr_schedule import warmup_poly_lr
+from sigma_tpu.utils.metrics import compute_score, hist_info
+
+import cv2
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    """Tiny synthetic RGB-X dataset on disk (8 train / 2 val images)."""
+    root = tmp_path_factory.mktemp("mfnet_synth")
+    (root / "RGB").mkdir()
+    (root / "Label").mkdir()
+    (root / "Modal").mkdir()
+    rng = np.random.default_rng(0)
+    names = [f"img{i:02d}" for i in range(10)]
+    for n in names:
+        h, w = 40, 56
+        cv2.imwrite(str(root / "RGB" / f"{n}.png"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        label = rng.integers(0, 9, (h, w)).astype(np.uint8)
+        label[0, 0] = 255  # ignore pixel
+        cv2.imwrite(str(root / "Label" / f"{n}.png"), label)
+        cv2.imwrite(str(root / "Modal" / f"{n}.png"),
+                    rng.integers(0, 255, (h, w), dtype=np.uint8))
+    (root / "train2.txt").write_text("\n".join(names[:8]) + "\n")
+    (root / "test.txt").write_text("\n".join(names[8:]) + "\n")
+    return str(root)
+
+
+def _tiny_cfg(synth_root):
+    cfg = get_config("mfnet", dataset_path=synth_root)
+    object.__setattr__(cfg, "backbone", "sigma_test")
+    object.__setattr__(cfg, "image_height", 32)
+    object.__setattr__(cfg, "image_width", 32)
+    object.__setattr__(cfg, "eval_crop_size", (32, 32))
+    object.__setattr__(cfg, "batch_size", 8)
+    object.__setattr__(cfg, "num_workers", 2)
+    return cfg
+
+
+def test_dataset_and_loader(synth_dataset):
+    cfg = _tiny_cfg(synth_dataset)
+    ds = RGBXDataset(
+        cfg.data_setting(), "train",
+        TrainPre(cfg.norm_mean, cfg.norm_std, cfg),
+        file_length=cfg.batch_size * 2,
+    )
+    ds.set_epoch(0)
+    item = ds[0]
+    assert item["data"].shape == (32, 32, 3)
+    assert item["modal_x"].shape == (32, 32, 3)
+    assert item["label"].shape == (32, 32)
+    assert item["label"].dtype == np.int32
+
+    loader = TrainLoader(ds, global_batch_size=8, niters_per_epoch=2,
+                         num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["data"].shape == (8, 32, 32, 3)
+    # determinism: same epoch -> same batches
+    loader2 = TrainLoader(ds, global_batch_size=8, niters_per_epoch=2,
+                          num_workers=2)
+    batches2 = list(loader2)
+    np.testing.assert_array_equal(batches[0]["data"], batches2[0]["data"])
+
+
+def test_loader_sharding(synth_dataset):
+    cfg = _tiny_cfg(synth_dataset)
+    ds = RGBXDataset(
+        cfg.data_setting(), "train",
+        TrainPre(cfg.norm_mean, cfg.norm_std, cfg),
+        file_length=16,
+    )
+    full = list(TrainLoader(ds, 8, 1, num_workers=1))[0]
+    half0 = list(TrainLoader(ds, 8, 1, num_workers=1, process_index=0,
+                             process_count=2))[0]
+    half1 = list(TrainLoader(ds, 8, 1, num_workers=1, process_index=1,
+                             process_count=2))[0]
+    np.testing.assert_array_equal(full["data"][:4], half0["data"])
+    np.testing.assert_array_equal(full["data"][4:], half1["data"])
+
+
+def test_train_step_on_mesh(synth_dataset):
+    cfg = _tiny_cfg(synth_dataset)
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh((8,))
+    model = build_model(cfg)
+    schedule = warmup_poly_lr(cfg.lr, cfg.lr_power, 100, 10)
+    batch = {
+        "data": np.random.rand(8, 32, 32, 3).astype(np.float32),
+        "modal_x": np.random.rand(8, 32, 32, 3).astype(np.float32),
+        "label": np.random.randint(0, 9, (8, 32, 32)).astype(np.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng, batch, optax.identity())
+    tx = build_optimizer(cfg, schedule, state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(model, tx, mesh=mesh)
+    sharded = shard_batch(mesh, batch)
+    losses = []
+    for i in range(3):
+        state, loss = step(state, sharded, jax.random.PRNGKey(1))
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    # overfitting a fixed batch must reduce loss
+    for _ in range(7):
+        state, loss = step(state, sharded, jax.random.PRNGKey(1))
+    assert float(loss) < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path, synth_dataset):
+    cfg = _tiny_cfg(synth_dataset)
+    model = build_model(cfg)
+    batch = {
+        "data": np.zeros((1, 32, 32, 3), np.float32),
+        "modal_x": np.zeros((1, 32, 32, 3), np.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+    tx = optax.adamw(1e-4)
+    state = create_train_state(model, cfg, rng, batch, tx)
+    ckdir = str(tmp_path / "ck")
+    save_checkpoint(ckdir, state, epoch=7)
+    restored, epoch = restore_checkpoint(ckdir, state)
+    assert epoch == 7
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
+    # raw (template-free) restore for eval
+    raw, epoch = restore_checkpoint(ckdir, None)
+    assert epoch == 7 and "params" in raw
+    # pruning keeps only the best epoch
+    save_checkpoint(ckdir, state, epoch=8)
+    prune_checkpoints(ckdir, keep_epoch=8)
+    assert not os.path.exists(os.path.join(ckdir, "epoch-7"))
+    assert os.path.exists(os.path.join(ckdir, "epoch-8"))
+
+
+def test_evaluator_on_synth(synth_dataset):
+    cfg = _tiny_cfg(synth_dataset)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = jax.jit(model.init)(rng, sample, sample)
+    val_ds = RGBXDataset(cfg.data_setting(), "val", ValPre())
+    ev = SlidingEvaluator(
+        model, cfg.num_classes, cfg.norm_mean, cfg.norm_std,
+        multi_scales=(0.75, 1.0), is_flip=True,
+        eval_crop_size=(32, 32), stride_rate=2 / 3,
+    )
+    miou, detail = ev.run(variables, val_ds)
+    assert 0.0 <= miou <= 100.0
+    assert detail["iou"].shape == (9,)
+
+
+def test_warmup_poly_schedule():
+    sched = warmup_poly_lr(6e-5, 0.9, total_iters=1000, warmup_steps=100)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(50)), 3e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 6e-5 * 0.9**0.9, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(sched(999)), 6e-5 * 0.001**0.9, rtol=1e-4
+    )
+
+
+def test_optimizer_masks(synth_dataset):
+    cfg = _tiny_cfg(synth_dataset)
+    model = build_model(cfg)
+    batch = {
+        "data": np.zeros((1, 32, 32, 3), np.float32),
+        "modal_x": np.zeros((1, 32, 32, 3), np.float32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["data"],
+                                    batch["modal_x"])
+    params = variables["params"]
+    dm = decay_mask(params)
+    fm = frozen_ssm_mask(params)
+    flat_dm = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(dm)[0]
+    }
+    flat_fm = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(fm)[0]
+    }
+    # kernels decay, biases/norm scales don't
+    assert any(v for k, v in flat_dm.items() if "kernel" in k)
+    assert not any(v for k, v in flat_dm.items() if k.endswith("bias"))
+    # A_logs / Ds / dt biases never decay
+    assert not any(v for k, v in flat_dm.items() if "A_logs" in k or "'Ds'" in k)
+    # frozen mask hits the SSM tensors and nothing else structural
+    assert any(v for k, v in flat_fm.items() if "A_logs" in k)
+    assert any(v for k, v in flat_fm.items() if "x_proj_weight" in k)
+    assert not any(v for k, v in flat_fm.items() if "in_proj" in k)
+
+
+def test_metrics_reference_semantics():
+    pred = np.array([[0, 1], [2, 1]])
+    gt = np.array([[0, 1], [255, 2]])
+    hist, labeled, correct = hist_info(3, pred, gt)
+    assert labeled == 3 and correct == 2
+    assert hist[2, 1] == 1  # gt=2 predicted as 1
+    iou, miou, *_ = compute_score(hist, correct, labeled)
+    assert iou[0] == 1.0 and iou[1] == 0.5 and iou[2] == 0.0

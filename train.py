@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+TPU-native counterpart of the reference trainer (`/root/reference/
+train.py:37-275`): config selection by dataset name, seeding, data-parallel
+mesh (instead of DDP process groups), AdamW + warmup-poly LR, per-iteration
+loss logging, epoch checkpoints with best-mIoU retention, and in-train
+sliding-window validation.
+
+Usage:
+  python train.py -n mfnet [--dataset-path PATH] [--batch-size N]
+                  [--epochs N] [--steps N] [-c] [--bf16] [--no-eval]
+
+Multi-host: launch one process per host with JAX_COORDINATOR_ADDR etc. and
+pass --distributed; devices attach automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="sigma_tpu trainer")
+    p.add_argument("-n", "--dataset", required=True,
+                   help="mfnet | pst900 | nyu | sunrgbd")
+    p.add_argument("--dataset-path", default=None)
+    p.add_argument("-c", "--continue", dest="resume", action="store_true",
+                   help="resume from the last checkpoint")
+    p.add_argument("--backbone", default=None,
+                   help="sigma_tiny | sigma_small | sigma_base")
+    p.add_argument("--decoder", default=None)
+    p.add_argument("--pretrained", default=None,
+                   help="VMamba ImageNet checkpoint (.pth or converted .npz)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None,
+                   help="cap total train steps (smoke tests)")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize()")
+    p.add_argument("--num-workers", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def _enable_compilation_cache():
+    cache = os.environ.get(
+        "SIGMA_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/sigma_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    _enable_compilation_cache()
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from configs import get_config
+    from sigma_tpu.data import RGBXDataset, TrainLoader, TrainPre, ValPre
+    from sigma_tpu.engine import (
+        build_optimizer,
+        create_train_state,
+        get_logger,
+        make_train_step,
+    )
+    from sigma_tpu.engine.checkpoint import (
+        prune_checkpoints,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from sigma_tpu.engine.evaluator import SlidingEvaluator
+    from sigma_tpu.models.builder import build_model
+    from sigma_tpu.parallel import make_mesh, shard_batch
+    from sigma_tpu.utils.lr_schedule import warmup_poly_lr
+
+    overrides = {}
+    if args.dataset_path:
+        overrides["dataset_path"] = args.dataset_path
+    cfg = get_config(args.dataset, **overrides)
+    for field, val in [
+        ("backbone", args.backbone),
+        ("decoder", args.decoder),
+        ("batch_size", args.batch_size),
+        ("nepochs", args.epochs),
+        ("lr", args.lr),
+        ("pretrained_model", args.pretrained),
+        ("log_dir", args.log_dir),
+        ("num_workers", args.num_workers),
+    ]:
+        if val is not None:
+            object.__setattr__(cfg, field, val)
+    if args.bf16:
+        object.__setattr__(cfg, "bf16", True)
+    if not cfg.checkpoint_dir:
+        object.__setattr__(
+            cfg, "checkpoint_dir", os.path.join(cfg.log_dir, "checkpoint")
+        )
+
+    logger = get_logger(cfg.log_dir,
+                        os.path.join(cfg.log_dir, "train.log")
+                        if cfg.log_dir else None)
+    logger.info("devices: %s", jax.devices())
+    mesh = make_mesh(cfg.mesh_shape)
+
+    # --- data ---
+    dataset = RGBXDataset(
+        cfg.data_setting(), "train",
+        TrainPre(cfg.norm_mean, cfg.norm_std, cfg),
+        file_length=cfg.batch_size * cfg.niters_per_epoch,
+        seed=cfg.seed,
+    )
+    loader = TrainLoader(
+        dataset,
+        global_batch_size=cfg.batch_size,
+        niters_per_epoch=cfg.niters_per_epoch,
+        num_workers=cfg.num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        seed=cfg.seed,
+    )
+
+    # --- model / optimizer ---
+    model = build_model(cfg)
+    total_iters = cfg.nepochs * cfg.niters_per_epoch
+    schedule = warmup_poly_lr(
+        cfg.lr, cfg.lr_power, total_iters,
+        cfg.niters_per_epoch * cfg.warm_up_epoch,
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = {
+        "data": jnp.zeros(
+            (max(1, cfg.batch_size // jax.process_count()),
+             cfg.image_height, cfg.image_width, 3), jnp.float32),
+        "modal_x": jnp.zeros(
+            (max(1, cfg.batch_size // jax.process_count()),
+             cfg.image_height, cfg.image_width, 3), jnp.float32),
+    }
+    # tx needs params for its masks; bootstrap with a dummy then rebuild
+    import optax
+    state = create_train_state(model, cfg, rng, sample, optax.identity())
+    tx = build_optimizer(cfg, schedule, state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+
+    if cfg.pretrained_model:
+        from sigma_tpu.utils.convert import load_vmamba_into_params
+        params = load_vmamba_into_params(state.params, cfg.pretrained_model)
+        state = state.replace(params=params)
+        logger.info("loaded pretrained backbone: %s", cfg.pretrained_model)
+
+    start_epoch = 1
+    if args.resume:
+        state, last_epoch = restore_checkpoint(cfg.checkpoint_dir, state)
+        start_epoch = last_epoch + 1
+        logger.info("resumed from epoch %d", last_epoch)
+
+    train_step = make_train_step(model, tx, mesh=mesh)
+    step_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    tb = None
+    if cfg.log_dir and jax.process_index() == 0:
+        try:
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(os.path.join(cfg.log_dir, "tb"))
+        except Exception:
+            pass
+
+    evaluator = None
+    val_dataset = None
+    best_miou, best_epoch = -1.0, -1
+    if not args.no_eval:
+        val_dataset = RGBXDataset(cfg.data_setting(), "val", ValPre())
+        evaluator = SlidingEvaluator(
+            model,
+            cfg.num_classes,
+            cfg.norm_mean,
+            cfg.norm_std,
+            multi_scales=cfg.eval_scale_array,
+            is_flip=cfg.eval_flip,
+            eval_crop_size=cfg.eval_crop_size,
+            stride_rate=cfg.eval_stride_rate,
+        )
+
+    total_steps = 0
+    for epoch in range(start_epoch, cfg.nepochs + 1):
+        loader.set_epoch(epoch)
+        epoch_loss, t_epoch = 0.0, time.time()
+        for it, batch in enumerate(loader):
+            batch = shard_batch(mesh, {
+                "data": batch["data"],
+                "modal_x": batch["modal_x"],
+                "label": batch["label"],
+            })
+            state, loss = train_step(state, batch, step_rng)
+            total_steps += 1
+            if (it + 1) % 10 == 0 or it == 0:
+                lr_now = float(schedule(total_steps))
+                logger.info(
+                    "epoch %d iter %d/%d loss %.4f lr %.3e",
+                    epoch, it + 1, cfg.niters_per_epoch, float(loss), lr_now,
+                )
+            epoch_loss += float(loss)
+            if args.steps and total_steps >= args.steps:
+                break
+        logger.info(
+            "epoch %d done in %.1fs mean-loss %.4f",
+            epoch, time.time() - t_epoch,
+            epoch_loss / max(1, min(cfg.niters_per_epoch, total_steps)),
+        )
+        if tb is not None:
+            tb.add_scalar("train_loss",
+                          epoch_loss / max(1, cfg.niters_per_epoch), epoch)
+
+        should_ckpt = (
+            epoch >= cfg.checkpoint_start_epoch
+            and epoch % cfg.checkpoint_step == 0
+        ) or epoch == cfg.nepochs or (args.steps and total_steps >= args.steps)
+        if should_ckpt and jax.process_index() == 0 and cfg.checkpoint_dir:
+            save_checkpoint(cfg.checkpoint_dir, state, epoch)
+            if evaluator is not None:
+                miou, _ = evaluator.run({"params": state.params}, val_dataset)
+                logger.info("epoch %d mIoU %.2f", epoch, miou)
+                if tb is not None:
+                    tb.add_scalar("val_miou", miou, epoch)
+                if miou > best_miou:
+                    best_miou, best_epoch = miou, epoch
+                logger.info("best mIoU %.2f @ epoch %d", best_miou, best_epoch)
+                prune_checkpoints(cfg.checkpoint_dir, best_epoch)
+        if args.steps and total_steps >= args.steps:
+            break
+
+    logger.info("training finished (%d steps)", total_steps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
