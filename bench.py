@@ -45,15 +45,15 @@ def main():
     mx = jnp.zeros((batch, 480, 640, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), rgb, mx)
 
-    fwd = jax.jit(model.apply)
-    # warmup/compile
-    fwd(variables, rgb, mx)[0].block_until_ready()
+    fwd = jax.jit(lambda v, a, b: model.apply(v, a, b).sum())
+    # warmup/compile; NB block_until_ready is unreliable under the axon
+    # tunnel, so synchronize via scalar readback
+    float(fwd(variables, rgb, mx))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(variables, rgb, mx)
-    out.block_until_ready()
+        out = float(fwd(variables, rgb, mx))
     dt = time.perf_counter() - t0
     img_per_s = batch * iters / dt
 

@@ -147,8 +147,43 @@ def selective_scan(
     delta_softplus=False,
     chunk: int = 128,
     unroll: int = 1,
+    backend: str = "auto",
 ):
-    """Chunked two-level selective scan (production path).
+    """Selective scan with backend dispatch.
+
+    backend:
+      'auto'   — Pallas kernel on TPU, XLA chunked scan elsewhere (default)
+      'pallas' — force the Pallas kernel (interpreted off-TPU)
+      'xla'    — force the pure-XLA chunked scan
+
+    All backends share semantics up to float32 reassociation.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from sigma_tpu.ops.pallas_scan import selective_scan_pallas
+
+        return selective_scan_pallas(
+            u, delta, A, B, C, D, delta_bias, delta_softplus
+        )
+    return selective_scan_xla(
+        u, delta, A, B, C, D, delta_bias, delta_softplus, chunk, unroll
+    )
+
+
+def selective_scan_xla(
+    u,
+    delta,
+    A,
+    B,
+    C,
+    D=None,
+    delta_bias=None,
+    delta_softplus=False,
+    chunk: int = 128,
+    unroll: int = 1,
+):
+    """Chunked two-level selective scan in pure XLA (portable fallback).
 
     Same signature/semantics as `selective_scan_ref`. `chunk` trades
     sequential steps against per-chunk memory and associative-scan depth;
