@@ -156,7 +156,7 @@ _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
 
 def selective_scan_pallas_fwd(
     u, delta_eff, A, B, C,
-    d_block: int = 32, l_chunk: int = 512, interpret: bool | None = None,
+    d_block: int = 64, l_chunk: int = 256, interpret: bool | None = None,
 ):
     """Core scan with custom VJP: y[b,d,l] = sum_n C[b,g,n,l]*h[b,d,n,l].
 
@@ -207,7 +207,7 @@ def selective_scan_pallas_fwd(
 
 def selective_scan_pallas(
     u, delta, A, B, C, D=None, delta_bias=None, delta_softplus=False,
-    d_block: int = 32, l_chunk: int = 512,
+    d_block: int = 64, l_chunk: int = 256,
 ):
     """Drop-in replacement for `selective_scan` using the Pallas kernels
     (same signature/semantics; fp32 compute, differentiable)."""

@@ -131,7 +131,7 @@ def _bwd_kernel(
 
 def selective_scan_pallas_bwd(
     u, delta_eff, A_r, B, C, h_ckpt, dy, groups: int,
-    d_block: int = 32, l_chunk: int = 512, interpret: bool | None = None,
+    d_block: int = 64, l_chunk: int = 256, interpret: bool | None = None,
 ):
     """Backward pass on pre-padded/reshaped operands:
       u, delta_eff, dy: (BG, dg, L) with dg%8==0, L%lc==0
