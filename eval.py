@@ -111,9 +111,13 @@ def main(argv=None):
     # template params for orbax restore
     import jax.numpy as jnp
 
+    import functools
+
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, cfg.image_height, cfg.image_width, 3), jnp.float32)
-    variables = jax.jit(model.init)(rng, sample, sample)
+    variables = jax.jit(functools.partial(model.init, return_aux=True))(
+        rng, sample, sample
+    )
 
     save_fn = None
     if args.save_path:

@@ -82,24 +82,67 @@ def random_crop_pad_to_shape(img, crop_pos, crop_size, pad_value):
 
 
 class TrainPre:
-    def __init__(self, norm_mean, norm_std, config):
-        self.norm_mean = norm_mean
-        self.norm_std = norm_std
+    """Train-time augmentation. When the native core is available
+    (sigma_tpu/data/native), the post-resize tail (normalize + crop +
+    center-pad) runs as ONE fused C++ pass per output pixel; the numpy path
+    below is the semantic reference. Both consume the SAME random draws in
+    the same order, so a given (seed, index) yields the same geometry."""
+
+    def __init__(self, norm_mean, norm_std, config, use_native: bool = True):
+        self.norm_mean = np.asarray(norm_mean, np.float32)
+        self.norm_std = np.asarray(norm_std, np.float32)
         self.config = config
+        self.use_native = use_native
+
+    def _draws(self, rng):
+        cfg = self.config
+        mirror = bool(rng.random() >= 0.5)
+        scale = None
+        if cfg.train_scale_array is not None:
+            scale = cfg.train_scale_array[
+                int(rng.integers(len(cfg.train_scale_array)))
+            ]
+        return mirror, scale
 
     def __call__(self, rng, rgb, gt, modal_x):
         cfg = self.config
-        rgb, gt, modal_x = random_mirror(rng, rgb, gt, modal_x)
-        if cfg.train_scale_array is not None:
-            rgb, gt, modal_x, _ = random_scale(
-                rng, rgb, gt, modal_x, cfg.train_scale_array
+        crop_size = (cfg.image_height, cfg.image_width)
+        mirror, scale = self._draws(rng)
+
+        if mirror:
+            rgb = np.ascontiguousarray(rgb[:, ::-1])
+            gt = np.ascontiguousarray(gt[:, ::-1])
+            modal_x = np.ascontiguousarray(modal_x[:, ::-1])
+        if scale is not None:
+            sh = int(rgb.shape[0] * scale)
+            sw = int(rgb.shape[1] * scale)
+            rgb = _resize(rgb, sw, sh)
+            gt = _resize(gt, sw, sh, nearest=True)
+            modal_x = _resize(modal_x, sw, sh)
+
+        crop_pos = generate_random_crop_pos(rng, rgb.shape[:2], crop_size)
+
+        from sigma_tpu.data import native
+
+        if self.use_native and native.available():
+            h, w = rgb.shape[:2]
+            ch, cw = crop_size
+            copy_h = min(ch, h - crop_pos[0])
+            copy_w = min(cw, w - crop_pos[1])
+            pad_t = (ch - copy_h) // 2
+            pad_l = (cw - copy_w) // 2
+            args = (crop_size, crop_pos, (pad_t, pad_l), (copy_h, copy_w))
+            p_rgb = native.fused_image_aug(
+                rgb, *args, self.norm_mean, self.norm_std, 0.0, False
             )
+            p_x = native.fused_image_aug(
+                modal_x, *args, self.norm_mean, self.norm_std, 0.0, False
+            )
+            p_gt = native.fused_label_aug(gt, *args, 255, False)
+            return p_rgb, p_gt, p_x
 
         rgb = normalize(rgb, self.norm_mean, self.norm_std)
         modal_x = normalize(modal_x, self.norm_mean, self.norm_std)
-
-        crop_size = (cfg.image_height, cfg.image_width)
-        crop_pos = generate_random_crop_pos(rng, rgb.shape[:2], crop_size)
         p_rgb, _ = random_crop_pad_to_shape(rgb, crop_pos, crop_size, 0)
         p_gt, _ = random_crop_pad_to_shape(gt, crop_pos, crop_size, 255)
         p_x, _ = random_crop_pad_to_shape(modal_x, crop_pos, crop_size, 0)

@@ -31,9 +31,9 @@ class TrainState:
 
 
 def create_train_state(model, cfg, rng, sample_batch, tx) -> TrainState:
-    variables = jax.jit(model.init)(
-        rng, sample_batch["data"], sample_batch["modal_x"]
-    )
+    variables = jax.jit(
+        functools.partial(model.init, return_aux=True)
+    )(rng, sample_batch["data"], sample_batch["modal_x"])
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -69,11 +69,17 @@ def make_train_step(
                 batch["data"],
                 batch["modal_x"],
                 deterministic=False,
+                return_aux=True,
                 rngs={"dropout": dropout_rng},
                 **kwargs,
             )
-            logits, new_vars = out if kwargs else (out, {})
+            (logits, aux), new_vars = out if kwargs else (out, {})
             loss = segmentation_loss(logits, batch["label"])
+            if aux is not None:
+                # auxiliary FCN-head loss (reference builder.py:152-156)
+                loss = loss + getattr(model, "aux_rate", 0.4) * (
+                    segmentation_loss(aux, batch["label"])
+                )
             return loss, new_vars.get("batch_stats")
 
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -17,7 +17,12 @@ from flax import linen as nn
 
 from sigma_tpu.models.common import LN_EPS, resize_bilinear
 from sigma_tpu.models.decoders import MambaDecoder, MLPDecoder
+from sigma_tpu.models.decoders.deeplabv3plus import DeepLabV3Plus
+from sigma_tpu.models.decoders.fcnhead import FCNHead
+from sigma_tpu.models.decoders.upernet import UPerHead
+from sigma_tpu.models.mit_encoder import MIT_VARIANTS, DualMiTEncoder
 from sigma_tpu.models.sigma_encoder import SIGMA_VARIANTS, SigmaEncoder
+from sigma_tpu.models.swin_encoder import SWIN_VARIANTS, DualSwinEncoder
 
 Dtype = Any
 
@@ -34,26 +39,46 @@ class EncoderDecoder(nn.Module):
     scan_chunk: int = 128
     dtype: Dtype = jnp.float32
 
+    aux_rate: float = 0.4  # aux-head loss weight (builder.py:87,96)
+
     @nn.compact
-    def __call__(self, rgb, modal_x, deterministic: bool = True):
-        if self.backbone not in SIGMA_VARIANTS:
+    def __call__(self, rgb, modal_x, deterministic: bool = True,
+                 return_aux: bool = False):
+        if self.backbone in SIGMA_VARIANTS:
+            variant = dict(SIGMA_VARIANTS[self.backbone])
+            if self.drop_path_rate is not None:
+                variant["drop_path_rate"] = self.drop_path_rate
+            dims = variant["dims"]
+            feats = SigmaEncoder(
+                **variant,
+                ln_eps=self.ln_eps,
+                scan_chunk=self.scan_chunk,
+                dtype=self.dtype,
+                name="backbone",
+            )(rgb, modal_x, deterministic=deterministic)
+        elif self.backbone in MIT_VARIANTS:
+            variant = dict(MIT_VARIANTS[self.backbone])
+            if self.drop_path_rate is not None:
+                variant["drop_path_rate"] = self.drop_path_rate
+            dims = variant["embed_dims"]
+            feats = DualMiTEncoder(
+                **variant, dtype=self.dtype, name="backbone",
+            )(rgb, modal_x, deterministic=deterministic)
+        elif self.backbone in SWIN_VARIANTS:
+            variant = dict(SWIN_VARIANTS[self.backbone])
+            if self.drop_path_rate is not None:
+                variant["drop_path_rate"] = self.drop_path_rate
+            dims = tuple(variant["embed_dim"] * 2**i for i in range(4))
+            feats = DualSwinEncoder(
+                **variant, dtype=self.dtype, name="backbone",
+            )(rgb, modal_x, deterministic=deterministic)
+        else:
             raise ValueError(
-                f"unknown backbone {self.backbone!r}; "
-                f"options: {sorted(SIGMA_VARIANTS)}"
+                f"unknown backbone {self.backbone!r}; options: "
+                f"{sorted(SIGMA_VARIANTS) + sorted(MIT_VARIANTS) + sorted(SWIN_VARIANTS)}"
             )
-        variant = dict(SIGMA_VARIANTS[self.backbone])
-        if self.drop_path_rate is not None:
-            variant["drop_path_rate"] = self.drop_path_rate
-        dims = variant["dims"]
 
-        feats = SigmaEncoder(
-            **variant,
-            ln_eps=self.ln_eps,
-            scan_chunk=self.scan_chunk,
-            dtype=self.dtype,
-            name="backbone",
-        )(rgb, modal_x, deterministic=deterministic)
-
+        aux = None
         if self.decoder == "MambaDecoder":
             logits = MambaDecoder(
                 num_classes=self.num_classes,
@@ -70,12 +95,44 @@ class EncoderDecoder(nn.Module):
                 dtype=self.dtype,
                 name="decode_head",
             )(feats, deterministic=deterministic)
+        elif self.decoder == "UPernet":
+            logits = UPerHead(
+                num_classes=self.num_classes,
+                channels=512,
+                dtype=self.dtype,
+                name="decode_head",
+            )(feats, deterministic=deterministic)
+            if return_aux:  # aux FCN head on the 1/16 feature (builder.py:86-88)
+                aux = FCNHead(
+                    num_classes=self.num_classes, dtype=self.dtype,
+                    name="aux_head",
+                )(feats[2], deterministic=deterministic)
+        elif self.decoder == "deeplabv3+":
+            logits = DeepLabV3Plus(
+                num_classes=self.num_classes,
+                dtype=self.dtype,
+                name="decode_head",
+            )(feats, deterministic=deterministic)
+            if return_aux:
+                aux = FCNHead(
+                    num_classes=self.num_classes, dtype=self.dtype,
+                    name="aux_head",
+                )(feats[2], deterministic=deterministic)
+        elif self.decoder in ("FCN", "fcn"):
+            logits = FCNHead(
+                num_classes=self.num_classes, dtype=self.dtype,
+                name="decode_head",
+            )(feats[-1], deterministic=deterministic)
         else:
             raise ValueError(f"unknown decoder {self.decoder!r}")
 
         h, w = rgb.shape[1:3]
         if logits.shape[1:3] != (h, w):
             logits = resize_bilinear(logits, h, w)
+        if return_aux:
+            if aux is not None and aux.shape[1:3] != (h, w):
+                aux = resize_bilinear(aux, h, w)
+            return logits, aux
         return logits
 
 

@@ -116,6 +116,7 @@ class Mlp(nn.Module):
             dtype=self.dtype,
             kernel_init=torch_linear_kernel_init(in_features),
             bias_init=torch_linear_bias_init(in_features),
+            name="fc1",
         )(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -124,6 +125,7 @@ class Mlp(nn.Module):
             dtype=self.dtype,
             kernel_init=torch_linear_kernel_init(self.hidden_features),
             bias_init=torch_linear_bias_init(self.hidden_features),
+            name="fc2",
         )(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x

@@ -184,3 +184,115 @@ def load_vmamba_into_params(params: Any, ckpt_path: str):
     backbone["vssm"] = new_trunk
     out["backbone"] = backbone
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dual-path ingest for the alternative backbones: the reference duplicates
+# single-trunk ImageNet weights into both modality trunks
+# (dual_segformer.py:438-473 `load_dualpath_model`, dual_swin.py analogue).
+# ---------------------------------------------------------------------------
+
+
+def _generic_fill(tree, resolve):
+    """Walk a flax params tree; `resolve(path_tuple, leaf)` returns a
+    converted array or None (keep init). Returns (tree, loaded, missing)."""
+    import jax
+
+    loaded, missing = [], []
+
+    def fill(path, leaf):
+        parts = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        got = resolve(parts, leaf)
+        if got is None:
+            missing.append(".".join(parts))
+            return leaf
+        key, w = got
+        if w.shape != leaf.shape:
+            raise ValueError(
+                f"shape mismatch for {'.'.join(parts)}: ckpt {w.shape} "
+                f"vs model {leaf.shape}"
+            )
+        loaded.append(key)
+        return w.astype(np.asarray(leaf).dtype)
+
+    new = jax.tree_util.tree_map_with_path(fill, tree)
+    return new, loaded, missing
+
+
+def convert_mit_trunk(flax_trunk, sd):
+    """Fill one MiTTrunk params tree from a torch SegFormer (MiT) ImageNet
+    state dict. Key scheme: patch_embed{i}.{proj,norm}, block{i}.{j}.*,
+    norm{i}."""
+    sd = _strip(sd)
+    t = lambda w: w.T
+    conv = lambda w: np.transpose(w, (2, 3, 1, 0))
+
+    def resolve(parts, leaf):
+        name = parts[0]
+        if name.startswith("patch_embed"):
+            sub, lf = parts[1], parts[2]
+            if sub == "proj":
+                key = f"{name}.proj.{'weight' if lf == 'kernel' else 'bias'}"
+                fn = conv if lf == "kernel" else (lambda w: w)
+            else:
+                key = f"{name}.norm.{'weight' if lf == 'scale' else 'bias'}"
+                fn = lambda w: w
+        elif name.startswith("block"):
+            stage, j = name[5:].split("_")
+            base = f"block{stage}.{j}"
+            rest = parts[1:]
+            fn = lambda w: w
+            if rest[0] in ("norm1", "norm2"):
+                key = f"{base}.{rest[0]}.{'weight' if rest[1] == 'scale' else 'bias'}"
+            elif rest[0] == "attn":
+                sub, lf = rest[1], rest[2]
+                if sub in ("q", "kv", "proj"):
+                    key = f"{base}.attn.{sub}.{'weight' if lf == 'kernel' else 'bias'}"
+                    fn = t if lf == "kernel" else fn
+                elif sub == "sr":
+                    key = f"{base}.attn.sr.{'weight' if lf == 'kernel' else 'bias'}"
+                    fn = conv if lf == "kernel" else fn
+                else:  # sr_norm
+                    key = f"{base}.attn.norm.{'weight' if lf == 'scale' else 'bias'}"
+            elif rest[0] == "mlp":
+                sub, lf = rest[1], rest[2]
+                if sub == "dwconv":
+                    key = f"{base}.mlp.dwconv.dwconv.{'weight' if lf == 'kernel' else 'bias'}"
+                    fn = conv if lf == "kernel" else fn
+                else:
+                    key = f"{base}.mlp.{sub}.{'weight' if lf == 'kernel' else 'bias'}"
+                    fn = t if lf == "kernel" else fn
+            else:
+                return None
+        elif name.startswith("norm"):
+            key = f"{name}.{'weight' if parts[1] == 'scale' else 'bias'}"
+            fn = lambda w: w
+        else:
+            return None
+        if key in sd:
+            return key, fn(np.asarray(sd[key]))
+        return None
+
+    return _generic_fill(flax_trunk, resolve)
+
+
+def load_mit_dualpath(params, ckpt_path: str):
+    """Duplicate a single-trunk MiT checkpoint into both modality trunks
+    (reference load_dualpath_model semantics)."""
+    logger = get_logger()
+    sd = load_torch_state_dict(ckpt_path)
+    out = dict(params)
+    backbone = dict(out["backbone"])
+    total_loaded = 0
+    for trunk_name in ("trunk", "extra_trunk"):
+        new, loaded, missing = convert_mit_trunk(backbone[trunk_name], sd)
+        backbone[trunk_name] = new
+        total_loaded += len(loaded)
+        logger.info(
+            "mit ingest %s: %d loaded, %d fresh", trunk_name, len(loaded),
+            len(missing),
+        )
+    out["backbone"] = backbone
+    return out

@@ -18,3 +18,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite re-jits the same programs every run
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "SIGMA_TPU_TEST_CACHE",
+        os.path.expanduser("~/.cache/sigma_tpu_test_xla"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -159,3 +159,68 @@ def test_shape_mismatch_raises():
     sd["patch_embed.proj.weight"] = sd["patch_embed.proj.weight"][:, :1]
     with pytest.raises(ValueError, match="shape mismatch"):
         convert_vmamba_trunk(variables["params"], sd)
+
+
+def _synth_torch_mit(embed_dims, depths, heads, sr):
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def add(k, *shape):
+        sd[k] = rng.standard_normal(shape).astype(np.float32)
+
+    in_ch = 3
+    for i in range(4):
+        d = embed_dims[i]
+        p = 7 if i == 0 else 3
+        add(f"patch_embed{i+1}.proj.weight", d, in_ch, p, p)
+        add(f"patch_embed{i+1}.proj.bias", d)
+        add(f"patch_embed{i+1}.norm.weight", d)
+        add(f"patch_embed{i+1}.norm.bias", d)
+        in_ch = d
+        for j in range(depths[i]):
+            b = f"block{i+1}.{j}"
+            for nm in ("norm1", "norm2"):
+                add(f"{b}.{nm}.weight", d)
+                add(f"{b}.{nm}.bias", d)
+            add(f"{b}.attn.q.weight", d, d)
+            add(f"{b}.attn.q.bias", d)
+            add(f"{b}.attn.kv.weight", 2 * d, d)
+            add(f"{b}.attn.kv.bias", 2 * d)
+            add(f"{b}.attn.proj.weight", d, d)
+            add(f"{b}.attn.proj.bias", d)
+            if sr[i] > 1:
+                add(f"{b}.attn.sr.weight", d, d, sr[i], sr[i])
+                add(f"{b}.attn.sr.bias", d)
+                add(f"{b}.attn.norm.weight", d)
+                add(f"{b}.attn.norm.bias", d)
+            hid = 4 * d
+            add(f"{b}.mlp.fc1.weight", hid, d)
+            add(f"{b}.mlp.fc1.bias", hid)
+            add(f"{b}.mlp.dwconv.dwconv.weight", hid, 1, 3, 3)
+            add(f"{b}.mlp.dwconv.dwconv.bias", hid)
+            add(f"{b}.mlp.fc2.weight", d, hid)
+            add(f"{b}.mlp.fc2.bias", d)
+        add(f"norm{i+1}.weight", d)
+        add(f"norm{i+1}.bias", d)
+    add("head.weight", 1000, embed_dims[-1])
+    return sd
+
+
+def test_mit_dualpath_ingest():
+    from sigma_tpu.models.mit_encoder import MiTTrunk
+    from sigma_tpu.utils.convert import convert_mit_trunk
+
+    dims, depths, heads, sr = (8, 16, 32, 64), (1, 1, 1, 1), (1, 2, 4, 8), (8, 4, 2, 1)
+    trunk = MiTTrunk(embed_dims=dims, depths=depths, num_heads=heads,
+                     sr_ratios=sr)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(trunk.init)(KEY, x)
+    sd = _synth_torch_mit(dims, depths, heads, sr)
+    new, loaded, missing = convert_mit_trunk(v["params"], sd)
+    assert not missing, missing[:8]
+    assert "head.weight" not in loaded
+    # q kernel transposed
+    got = np.asarray(new["block1_0"]["attn"]["q"]["kernel"])
+    np.testing.assert_array_equal(got, sd["block1.0.attn.q.weight"].T)
+    outs = jax.jit(trunk.apply)({"params": new}, x)
+    assert len(outs) == 4

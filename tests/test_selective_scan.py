@@ -34,10 +34,16 @@ def _make_inputs(rng, batch, dim, L, N, G, with_D, with_bias, itype=np.float32):
     return u, delta, A, B, C, D, bias
 
 
-@pytest.mark.parametrize("seqlen", [64, 128, 256, 372, 512, 784, 1134, 4096])
-@pytest.mark.parametrize("with_D", [True, False])
-@pytest.mark.parametrize("with_bias", [True, False])
-@pytest.mark.parametrize("softplus", [True, False])
+@pytest.mark.parametrize("seqlen", [64, 256, 372, 784, 1134])
+@pytest.mark.parametrize(
+    "with_D,with_bias,softplus",
+    [
+        (True, True, True),
+        (False, False, False),
+        (True, False, True),
+        (False, True, False),
+    ],
+)
 def test_forward_parity(seqlen, with_D, with_bias, softplus):
     rng = np.random.default_rng(seqlen + with_D * 2 + with_bias * 4 + softplus)
     batch, dim, N, G = 2, 8, 8, 1
@@ -67,7 +73,7 @@ def test_chunk_invariance():
         np.testing.assert_allclose(y, ys[0], rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("seqlen", [96, 372, 1134])
+@pytest.mark.parametrize("seqlen", [96, 372])
 @pytest.mark.parametrize("softplus", [True, False])
 def test_gradient_parity(seqlen, softplus):
     rng = np.random.default_rng(seqlen)
