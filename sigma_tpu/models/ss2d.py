@@ -40,7 +40,7 @@ from sigma_tpu.ops import (
     cross_merge_multimodal,
     cross_scan,
     cross_scan_multimodal,
-    selective_scan,
+    selective_scan_cl,
 )
 
 Dtype = Any
@@ -87,38 +87,38 @@ class _SSMDirParams(nn.Module):
         self.Ds = self.param("Ds", nn.initializers.ones, (K * D,))
 
     def project(self, xs):
-        """xs: (B, K, L, D) -> (u, delta, Bs, Cs) in scan layout.
+        """xs: (B, K, L, D) -> (dts, Bs, Cs) channel-last.
 
         Mirrors the einsum pipeline of `cross_selective_scan`
-        (vmamba.py:195-207) with channel-last contractions.
+        (vmamba.py:195-207); everything stays channel-last so the scan
+        kernel consumes it without transposes.
         """
-        b, k, l, d = xs.shape
         n, r = self.d_state, self.dt_rank
         x_dbl = jnp.einsum("bkld,kdc->bklc", xs, self.x_proj_weight)
         dts = jnp.einsum(
             "bklr,krd->bkld", x_dbl[..., :r], self.dt_projs_weight
         )
-        bs = x_dbl[..., r : r + n]
-        cs = x_dbl[..., r + n :]
-        u = jnp.swapaxes(xs, -1, -2).reshape(b, k * d, l)
-        delta = jnp.swapaxes(dts, -1, -2).reshape(b, k * d, l)
-        bs = jnp.swapaxes(bs, -1, -2)  # (B, K, N, L)
-        cs = jnp.swapaxes(cs, -1, -2)
-        return u, delta, bs, cs
+        return dts, x_dbl[..., r : r + n], x_dbl[..., r + n :]
 
-    def scan(self, u, delta, bs, cs, chunk):
+    def scan(self, xs, dts, bs, cs, chunk):
+        """Channel-last scan over all K directions in one kernel call.
+        xs/dts: (B, K, L, D); bs/cs: (B, K, L, N) -> y (B, K, L, D)."""
+        b, k, l, d = xs.shape
+        n = self.d_state
         A = -jnp.exp(self.A_logs.astype(jnp.float32))
-        return selective_scan(
-            u,
-            delta,
-            A,
-            bs,
-            cs,
-            D=self.Ds,
-            delta_bias=self.dt_projs_bias.reshape(-1),
+        A_cl = jnp.swapaxes(A.reshape(k, d, n), 1, 2)  # (K, N, D)
+        y = selective_scan_cl(
+            xs.reshape(b * k, l, d),
+            dts.reshape(b * k, l, d),
+            A_cl,
+            bs.reshape(b * k, l, n),
+            cs.reshape(b * k, l, n),
+            D=self.Ds.reshape(k, d),
+            delta_bias=self.dt_projs_bias,
             delta_softplus=True,
             chunk=chunk,
         )
+        return y.reshape(b, k, l, d)
 
 
 def _stacked_linear_init(fan_in: int):
@@ -173,9 +173,8 @@ class SS2D(nn.Module):
             k=4, d_inner=d_inner, d_state=d_state, dt_rank=dt_rank, name="ssm"
         )
         xs = cross_scan(xx)  # (B, 4, L, D)
-        u, delta, bs, cs = params.project(xs)
-        y = params.scan(u, delta, bs, cs, self.scan_chunk)  # (B, 4D, L)
-        ys = jnp.swapaxes(y.reshape(b, 4, d_inner, h * w), -1, -2)
+        dts, bs, cs = params.project(xs)
+        ys = params.scan(xs, dts, bs, cs, self.scan_chunk)  # (B, 4, L, D)
         y = cross_merge(ys, h, w)  # (B, H, W, D)
         y = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm")(y)
 
@@ -249,9 +248,8 @@ class ConMBSS2D(nn.Module):
             k=2, d_inner=d_inner, d_state=d_state, dt_rank=dt_rank, name="ssm"
         )
         xs = cross_scan_multimodal(xr, xe)  # (B, 2, 2L, D)
-        u, delta, bs, cs = params.project(xs)
-        y = params.scan(u, delta, bs, cs, self.scan_chunk)  # (B, 2D, 2L)
-        ys = jnp.swapaxes(y.reshape(b, 2, d_inner, 2 * h * w), -1, -2)
+        dts, bs, cs = params.project(xs)
+        ys = params.scan(xs, dts, bs, cs, self.scan_chunk)  # (B, 2, 2L, D)
         y_rgb, y_e = cross_merge_multimodal(ys)  # (B, L, D) each
         y_rgb = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm1")(
             y_rgb.reshape(b, h, w, d_inner)
@@ -372,34 +370,29 @@ class CrossMambaFusionSS2D(nn.Module):
         def project(seq, xp, dtw):
             dbl = seq @ xp  # (B, L, R+2N)
             dt = dbl[..., :dt_rank] @ dtw  # (B, L, D)
-            bmat = jnp.swapaxes(dbl[..., dt_rank : dt_rank + n], -1, -2)
-            cmat = jnp.swapaxes(dbl[..., dt_rank + n :], -1, -2)
-            return jnp.swapaxes(dt, -1, -2), bmat, cmat
+            return dt, dbl[..., dt_rank : dt_rank + n], dbl[..., dt_rank + n:]
 
         dt1, b1, c1 = project(xr_seq, xp1, dtw1)
         dt2, b2, c2 = project(xe_seq, xp2, dtw2)
 
-        u = jnp.concatenate(
-            [jnp.swapaxes(xr_seq, -1, -2), jnp.swapaxes(xe_seq, -1, -2)],
-            axis=1,
-        )  # (B, 2D, L)
-        delta = jnp.concatenate([dt1, dt2], axis=1)
-        A = -jnp.exp(
-            jnp.concatenate([alog1, alog2], axis=0).astype(jnp.float32)
-        )
-        bs = jnp.stack([b1, b2], axis=1)  # (B, 2, N, L)
-        cs = jnp.stack([c2, c1], axis=1)  # swapped C: the cross attention
-        dd = jnp.concatenate([d1, d2], axis=0)
-        bias = jnp.concatenate([dtb1, dtb2], axis=0)
+        # both modality scans in ONE kernel call: rows (batch, modality)
+        u = jnp.stack([xr_seq, xe_seq], axis=1).reshape(2 * b, l, d_inner)
+        delta = jnp.stack([dt1, dt2], axis=1).reshape(2 * b, l, d_inner)
+        A_cl = -jnp.exp(
+            jnp.stack([alog1.T, alog2.T]).astype(jnp.float32)
+        )  # (2, N, D)
+        bs = jnp.stack([b1, b2], axis=1).reshape(2 * b, l, n)
+        # swapped C: the cross attention (vmamba.py:1528-1539)
+        cs = jnp.stack([c2, c1], axis=1).reshape(2 * b, l, n)
+        dd = jnp.stack([d1, d2])  # (2, D)
+        bias = jnp.stack([dtb1, dtb2])
 
-        y = selective_scan(
-            u, delta, A, bs, cs, D=dd, delta_bias=bias, delta_softplus=True,
-            chunk=self.scan_chunk,
-        )  # (B, 2D, L)
-        y_rgb = jnp.swapaxes(y[:, :d_inner], -1, -2)
-        y_e = jnp.swapaxes(y[:, d_inner:], -1, -2)
-        y_rgb = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_1")(y_rgb)
-        y_e = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_2")(y_e)
+        y = selective_scan_cl(
+            u, delta, A_cl, bs, cs, D=dd, delta_bias=bias,
+            delta_softplus=True, chunk=self.scan_chunk,
+        ).reshape(b, 2, l, d_inner)
+        y_rgb = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_1")(y[:, 0])
+        y_e = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_2")(y[:, 1])
 
         init_i = torch_linear_kernel_init(d_inner)
         out_rgb = nn.Dense(

@@ -1,5 +1,6 @@
 from sigma_tpu.ops.selective_scan import (
     selective_scan,
+    selective_scan_cl,
     selective_scan_ref,
     selective_scan_xla,
 )
@@ -12,6 +13,7 @@ from sigma_tpu.ops.scan_layout import (
 
 __all__ = [
     "selective_scan",
+    "selective_scan_cl",
     "selective_scan_ref",
     "selective_scan_xla",
     "cross_scan",

@@ -171,6 +171,66 @@ def selective_scan(
     )
 
 
+def selective_scan_cl(
+    u,
+    delta,
+    A,
+    B,
+    C,
+    D=None,
+    delta_bias=None,
+    delta_softplus=False,
+    chunk: int = 128,
+    backend: str = "auto",
+):
+    """Channel-last grouped selective scan (the model-native layout).
+
+    Args:
+      u, delta: (batch*groups, L, dg) — rows are (batch, group) flattened,
+        batch-major.
+      A: (G, N, dg) negative state matrix.
+      B, C: (batch*groups, L, N).
+      D, delta_bias: (G, dg) optional.
+
+    On TPU this dispatches to the sequential Pallas kernel
+    (`pallas_scan_seq`), which consumes this layout directly — no
+    transposes. Elsewhere it reshapes to the channel-first XLA path.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from sigma_tpu.ops.pallas_scan_seq import selective_scan_seq_cl
+
+        return selective_scan_seq_cl(
+            u, delta, A, B, C, D, delta_bias, delta_softplus
+        )
+
+    bg, L, dg = u.shape
+    G, N, _ = A.shape
+    batch = bg // G
+
+    def to_cf(x):  # (bg, L, dg) -> (batch, G*dg, L)
+        return (
+            x.reshape(batch, G, L, dg)
+            .swapaxes(2, 3)
+            .reshape(batch, G * dg, L)
+        )
+
+    u_cf = to_cf(u)
+    d_cf = to_cf(delta)
+    A_cf = jnp.swapaxes(A, 1, 2).reshape(G * dg, N)
+    B_cf = jnp.swapaxes(B.reshape(batch, G, L, N), 2, 3)
+    C_cf = jnp.swapaxes(C.reshape(batch, G, L, N), 2, 3)
+    D_cf = D.reshape(-1) if D is not None else None
+    bias_cf = delta_bias.reshape(-1) if delta_bias is not None else None
+    y = selective_scan_xla(
+        u_cf, d_cf, A_cf, B_cf, C_cf, D_cf, bias_cf, delta_softplus, chunk
+    )
+    return (
+        y.reshape(batch, G, dg, L).swapaxes(2, 3).reshape(bg, L, dg)
+    )
+
+
 def selective_scan_xla(
     u,
     delta,

@@ -80,3 +80,53 @@ def test_backend_dispatch():
     y_auto = selective_scan(*args, delta_softplus=True)  # xla on CPU
     y_pl = selective_scan(*args, delta_softplus=True, backend="pallas")
     np.testing.assert_allclose(y_auto, y_pl, rtol=1e-4, atol=1e-4)
+
+
+def test_channel_last_seq_kernel_parity():
+    """selective_scan_cl: sequential Pallas kernel (interpret) vs XLA
+    fallback, grouped + N-padding (d_state 4) + odd L paths."""
+    from sigma_tpu.ops import selective_scan_cl
+
+    rng = np.random.default_rng(11)
+    batch, G, dg, L, N = 2, 2, 16, 70, 4
+    bg = batch * G
+    u = rng.standard_normal((bg, L, dg)).astype(np.float32)
+    dt = (0.5 * rng.random((bg, L, dg))).astype(np.float32)
+    A = (-0.5 * rng.random((G, N, dg))).astype(np.float32)
+    Bm = rng.standard_normal((bg, L, N)).astype(np.float32)
+    Cm = rng.standard_normal((bg, L, N)).astype(np.float32)
+    Dk = rng.standard_normal((G, dg)).astype(np.float32)
+    bias = (0.1 * rng.random((G, dg))).astype(np.float32)
+
+    y_xla = selective_scan_cl(
+        u, dt, A, Bm, Cm, Dk, bias, True, backend="xla"
+    )
+    y_pl = selective_scan_cl(
+        u, dt, A, Bm, Cm, Dk, bias, True, backend="pallas"
+    )
+    np.testing.assert_allclose(y_pl, y_xla, rtol=RTOL, atol=ATOL)
+
+    # gradients through both backends agree
+    cot = rng.standard_normal((bg, L, dg)).astype(np.float32)
+
+    def loss(backend):
+        def inner(u, dt, A, Bm, Cm, Dk, bias):
+            return jnp.sum(
+                selective_scan_cl(u, dt, A, Bm, Cm, Dk, bias, True,
+                                  backend=backend) * cot
+            )
+
+        return inner
+
+    g_x = jax.grad(loss("xla"), argnums=tuple(range(7)))(
+        u, dt, A, Bm, Cm, Dk, bias
+    )
+    g_p = jax.grad(loss("pallas"), argnums=tuple(range(7)))(
+        u, dt, A, Bm, Cm, Dk, bias
+    )
+    for name, a, b in zip(["du", "ddt", "dA", "dB", "dC", "dD", "dbias"],
+                          g_p, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=RTOL, atol=ATOL,
+            err_msg=f"grad mismatch: {name}",
+        )
