@@ -178,14 +178,23 @@ class SlidingEvaluator:
 
     # --- dataset loop ----------------------------------------------------
     def run(self, variables, dataset, save_fn: Optional[Callable] = None,
-            log_every: int = 50):
-        """Evaluate all items; returns (mean_iou*100, result_lines)."""
+            log_every: int = 50, shard_across_processes: bool = True):
+        """Evaluate all items; returns (mean_iou*100, detail dict).
+
+        Multi-host: each JAX process evaluates its index shard and the
+        confusion matrices are all-reduced — the TPU-native replacement for
+        the reference's mp-spawn worker pool + results queue
+        (evaluator.py:244-290).
+        """
         logger = get_logger()
         n = len(dataset)
+        pid, pcount = 0, 1
+        if shard_across_processes:
+            pid, pcount = jax.process_index(), jax.process_count()
         hist = np.zeros((self.class_num, self.class_num), np.int64)
         correct = labeled = 0
         t0 = time.time()
-        for idx in range(n):
+        for idx in range(pid, n, pcount):
             item = dataset[idx]
             pred = self.sliding_eval(variables, item["data"], item["modal_x"])
             h, l, c = hist_info(
@@ -201,6 +210,19 @@ class SlidingEvaluator:
                     "eval %d/%d (%.2fs/img)", idx + 1, n,
                     (time.time() - t0) / (idx + 1),
                 )
+        if shard_across_processes and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            stats = jnp.concatenate(
+                [
+                    jnp.asarray(hist.reshape(-1), jnp.int64),
+                    jnp.asarray([labeled, correct], jnp.int64),
+                ]
+            )
+            total = multihost_utils.process_allgather(stats).sum(axis=0)
+            total = np.asarray(total)
+            hist = total[:-2].reshape(self.class_num, self.class_num)
+            labeled, correct = int(total[-2]), int(total[-1])
         iou, mean_iou, miou_nb, fwiou, macc, pacc = compute_score(
             hist, correct, labeled
         )

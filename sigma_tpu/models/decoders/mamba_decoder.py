@@ -102,10 +102,16 @@ class MambaUp(nn.Module):
     scan_chunk: int = 128
     dtype: Dtype = jnp.float32
 
+    remat: bool = True
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        block_cls = (
+            nn.remat(CVSSDecoderBlock, static_argnums=(2,))
+            if self.remat else CVSSDecoderBlock
+        )
         for i in range(self.depth):
-            x = CVSSDecoderBlock(
+            x = block_cls(
                 hidden_dim=self.dim,
                 drop_path=float(self.drop_path[i]),
                 d_state=self.d_state,
@@ -114,7 +120,7 @@ class MambaUp(nn.Module):
                 scan_chunk=self.scan_chunk,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         if self.upsample:
             x = UpsampleExpand(
                 dim=self.dim, ln_eps=self.ln_eps, dtype=self.dtype,

@@ -57,10 +57,12 @@ class SigmaEncoder(nn.Module):
             jnp.concatenate([x_rgb, x_e], axis=0), deterministic=deterministic
         )
 
+        cromb_cls = nn.remat(CrossMambaFusionBlock, static_argnums=(3,))
+        conmb_cls = nn.remat(ConcatMambaFusionBlock, static_argnums=(3,))
         fused = []
         for i, o in enumerate(outs):
             o_rgb, o_e = o[:b], o[b:]
-            o_rgb, o_e = CrossMambaFusionBlock(
+            o_rgb, o_e = cromb_cls(
                 hidden_dim=self.dims[i],
                 d_state=self.fusion_d_state,
                 ssm_ratio=self.ssm_ratio,
@@ -68,9 +70,9 @@ class SigmaEncoder(nn.Module):
                 scan_chunk=self.scan_chunk,
                 dtype=self.dtype,
                 name=f"cross_mamba_{i}",
-            )(o_rgb, o_e, deterministic=deterministic)
+            )(o_rgb, o_e, deterministic)
             fused.append(
-                ConcatMambaFusionBlock(
+                conmb_cls(
                     hidden_dim=self.dims[i],
                     d_state=self.fusion_d_state,
                     ssm_ratio=self.ssm_ratio,
@@ -78,7 +80,7 @@ class SigmaEncoder(nn.Module):
                     scan_chunk=self.scan_chunk,
                     dtype=self.dtype,
                     name=f"channel_attn_mamba_{i}",
-                )(o_rgb, o_e, deterministic=deterministic)
+                )(o_rgb, o_e, deterministic)
             )
         return fused
 

@@ -139,8 +139,11 @@ class SwinBlock(nn.Module):
         # x: (B, H, W, C)
         b, h, w, c = x.shape
         ws = self.window_size
+        # small maps: keep the full window (pad up) and drop the shift,
+        # like the reference (dual_swin.py pads to window multiples and the
+        # bias table stays window-sized regardless of resolution)
         shift = self.shift_size if min(h, w) > ws else 0
-        ws_eff = min(ws, min(h, w)) if min(h, w) <= ws else ws
+        ws_eff = ws
 
         shortcut = x
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)

@@ -241,6 +241,11 @@ class VSSMBackbone(nn.Module):
     """Segmentation VSSM trunk: patch embed + 4 stages of VSSBlocks with v1
     patch-merging downsamples; per-stage `outnorm` LayerNorms; returns the 4
     pre-downsample pyramid features (Backbone_VSSM, vmamba.py:2151-2212).
+
+    `remat=True` rematerializes each block in the backward pass (the
+    reference's optional `use_checkpoint`, vmamba.py:1718-1722) — without it
+    the ~35 scan calls' saved residuals blow past HBM at training batch
+    sizes.
     """
 
     depths: Sequence[int] = (2, 2, 9, 2)
@@ -254,6 +259,7 @@ class VSSMBackbone(nn.Module):
     ln_eps: float = LN_EPS
     out_indices: Sequence[int] = (0, 1, 2, 3)
     scan_chunk: int = 128
+    remat: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -262,6 +268,10 @@ class VSSMBackbone(nn.Module):
         depths = list(self.depths)
         total = sum(depths)
         dpr = np.linspace(0.0, self.drop_path_rate, total)
+
+        block_cls = (
+            nn.remat(VSSBlock, static_argnums=(2,)) if self.remat else VSSBlock
+        )
 
         x = PatchEmbed(
             embed_dim=dims[0],
@@ -275,7 +285,7 @@ class VSSMBackbone(nn.Module):
         blk_idx = 0
         for i, depth in enumerate(depths):
             for d in range(depth):
-                x = VSSBlock(
+                x = block_cls(
                     hidden_dim=dims[i],
                     drop_path=float(dpr[blk_idx]),
                     d_state=self.d_state,
@@ -286,7 +296,7 @@ class VSSMBackbone(nn.Module):
                     scan_chunk=self.scan_chunk,
                     dtype=self.dtype,
                     name=f"layers_{i}_blocks_{d}",
-                )(x, deterministic=deterministic)
+                )(x, deterministic)
                 blk_idx += 1
             if i in self.out_indices:
                 o = nn.LayerNorm(epsilon=self.ln_eps, name=f"outnorm{i}")(x)

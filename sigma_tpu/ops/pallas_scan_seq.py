@@ -29,6 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 _UNROLL = 16
 
 
+def _unroll_for(dg: int) -> int:
+    # Mosaic requires >=8-aligned dynamic sublane block slices, so the
+    # unroll stays at 16; wide-channel VMEM pressure is handled by routing
+    # per-step states through scratch instead of live SSA values.
+    del dg
+    return _UNROLL
+
+
 def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, y_ref, hck_ref, h_scr,
                 *, T, n_state, unroll):
     il = pl.program_id(1)
@@ -62,7 +70,8 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, y_ref, hck_ref, h_scr,
 
 def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
                 du_ref, dd_ref, dA_ref, dB_ref, dC_ref,
-                dh_scr, dA_scr, hstash_scr, *, T, n_state, unroll, nl):
+                dh_scr, dA_scr, hstash_scr, hloc_scr,
+                *, T, n_state, unroll, nl):
     j = pl.program_id(1)  # reversed block sweep (via index maps)
 
     @pl.when(j == 0)
@@ -90,6 +99,8 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
     jax.lax.fori_loop(0, T // unroll, fwd_body, h0)
 
     # --- reverse adjoint sweep with intra-chunk recompute ---
+    # per-step states go through the hloc scratch (not live SSA values) so
+    # the scoped-VMEM stack stays small even for wide dg
     def bwd_body(i, dh):
         # t runs T-1 .. 0 in unroll-sized chunks
         ci = T // unroll - 1 - i
@@ -101,14 +112,12 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
         dy_blk = dy_ref[0, pl.ds(t0, unroll), :]
         # recompute h_{t-1} for the chunk from the checkpoint
         h = hstash_scr[ci]
-        h_prevs = []
         for k in range(unroll):
-            h_prevs.append(h)
+            hloc_scr[k] = h
             dt = d_blk[k][None, :]
             ut = u_blk[k][None, :]
             a_t = jnp.exp(dt * A)
             h = a_t * h + (dt * ut) * b_blk[k][:, None]
-        dus, dds, dbs, dcs = [], [], [], []
         dA_acc = jnp.zeros_like(dA_scr[...])
         for k in reversed(range(unroll)):
             dt = d_blk[k][None, :]
@@ -116,22 +125,19 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
             bt = b_blk[k][:, None]
             ct = c_blk[k][:, None]
             dyt = dy_blk[k][None, :]
-            h_prev = h_prevs[k]  # (N, dg)
+            h_prev = hloc_scr[k]  # (N, dg)
             a_t = jnp.exp(dt * A)
             h_t = a_t * h_prev + (dt * ut) * bt
             dh = dh + ct * dyt  # dy contribution at t
-            dus.append(jnp.sum(dh * dt * bt, axis=0))
-            dds.append(jnp.sum(dh * (A * a_t * h_prev + bt * ut), axis=0))
+            du_ref[0, t0 + k, :] = jnp.sum(dh * dt * bt, axis=0)
+            dd_ref[0, t0 + k, :] = jnp.sum(
+                dh * (A * a_t * h_prev + bt * ut), axis=0
+            )
             dA_acc = dA_acc + dh * a_t * h_prev * dt
-            dbs.append(jnp.sum(dh * (dt * ut), axis=1))
-            dcs.append(jnp.sum(h_t * dyt, axis=1))
+            dB_ref[0, t0 + k, :] = jnp.sum(dh * (dt * ut), axis=1)
+            dC_ref[0, t0 + k, :] = jnp.sum(h_t * dyt, axis=1)
             dh = dh * a_t  # propagate to t-1
         dA_scr[...] = dA_scr[...] + dA_acc
-        dus.reverse(); dds.reverse(); dbs.reverse(); dcs.reverse()
-        du_ref[0, pl.ds(t0, unroll), :] = jnp.stack(dus, 0)
-        dd_ref[0, pl.ds(t0, unroll), :] = jnp.stack(dds, 0)
-        dB_ref[0, pl.ds(t0, unroll), :] = jnp.stack(dbs, 0)
-        dC_ref[0, pl.ds(t0, unroll), :] = jnp.stack(dcs, 0)
         return dh
 
     dh = jax.lax.fori_loop(0, T // unroll, bwd_body, dh_scr[...])
@@ -140,11 +146,12 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
 
 
 def _block_t(dg: int, n_state: int, want: int = 512) -> int:
-    # keep ~<=8MB of VMEM across the staged blocks (6 (T,dg) buffers in bwd)
-    budget = 6 * 1024 * 1024
-    t = max(_UNROLL, min(want, budget // (6 * 4 * max(dg, 1))))
-    t -= t % _UNROLL
-    return max(t, _UNROLL)
+    # keep ~<=6MB of VMEM across the staged blocks (6 (T,dg) buffers in bwd)
+    budget = 4 * 1024 * 1024
+    u = _unroll_for(dg)
+    t = max(u, min(want, budget // (6 * 4 * max(dg, 1))))
+    t -= t % u
+    return max(t, u)
 
 
 def _fwd_call(u, d, a_r, b, c, G, T, interpret):
@@ -153,7 +160,7 @@ def _fwd_call(u, d, a_r, b, c, G, T, interpret):
     nl = L // T
     grid = (bg, nl)
     kernel = functools.partial(
-        _fwd_kernel, T=T, n_state=N, unroll=_UNROLL
+        _fwd_kernel, T=T, n_state=N, unroll=_unroll_for(dg)
     )
     y, hck = pl.pallas_call(
         kernel,
@@ -212,7 +219,7 @@ def _scan_core_cl_bwd(G, T, interpret, res, dy):
         return nl - 1 - j
 
     kernel = functools.partial(
-        _bwd_kernel, T=T, n_state=N, unroll=_UNROLL, nl=nl
+        _bwd_kernel, T=T, n_state=N, unroll=_unroll_for(dg), nl=nl
     )
     du, dd, dA_bg, dB, dC = pl.pallas_call(
         kernel,
@@ -255,7 +262,8 @@ def _scan_core_cl_bwd(G, T, interpret, res, dy):
         scratch_shapes=[
             pltpu.VMEM((N, dg), jnp.float32),  # dh carry
             pltpu.VMEM((N, dg), jnp.float32),  # dA accumulator
-            pltpu.VMEM((T // _UNROLL, N, dg), jnp.float32),  # h checkpoints
+            pltpu.VMEM((T // _unroll_for(dg), N, dg), jnp.float32),  # h ckpts
+            pltpu.VMEM((_UNROLL, N, dg), jnp.float32),  # per-step states
         ],
         interpret=interpret,
     )(u, d, a_r, b, c, hck, dy)

@@ -296,3 +296,76 @@ def load_mit_dualpath(params, ckpt_path: str):
         )
     out["backbone"] = backbone
     return out
+
+
+def convert_swin_dual(flax_encoder, sd):
+    """Fill a DualSwinEncoder params tree from a single-trunk torch Swin
+    ImageNet state dict, duplicating weights into the modal-X path
+    (reference dual_swin.py `load_dualpath_model`). FRM/FFM and per-stage
+    out-norms stay at fresh init (they do not exist upstream)."""
+    sd = _strip(sd)
+    t = lambda w: w.T
+    conv = lambda w: np.transpose(w, (2, 3, 1, 0))
+
+    def resolve(parts, leaf):
+        name = parts[0]
+        # strip the modal-X suffix/prefix: both trunks get the same weights
+        if name.startswith("patch_embed"):
+            lf = parts[-1]
+            key = f"patch_embed.proj.{'weight' if lf == 'kernel' else 'bias'}"
+            return (key, conv(np.asarray(sd[key]))
+                    if lf == "kernel" else np.asarray(sd[key])) \
+                if key in sd else None
+        if name.startswith("patch_norm"):
+            key = f"patch_embed.norm.{'weight' if parts[-1] == 'scale' else 'bias'}"
+            return (key, np.asarray(sd[key])) if key in sd else None
+        core = name.replace("layers_d_", "layers_", 1) if name.startswith(
+            "layers_d_") else name
+        if core.startswith("layers_"):
+            seg = core.split("_")
+            i = seg[1]
+            if seg[2] == "downsample":
+                sub, lf = parts[1], parts[2]
+                if sub == "reduction":
+                    key = f"layers.{i}.downsample.reduction.weight"
+                    return (key, t(np.asarray(sd[key]))) if key in sd else None
+                key = f"layers.{i}.downsample.norm.{'weight' if lf == 'scale' else 'bias'}"
+                return (key, np.asarray(sd[key])) if key in sd else None
+            j = seg[3]
+            base = f"layers.{i}.blocks.{j}"
+            rest = parts[1:]
+            if rest[0] in ("norm1", "norm2"):
+                key = f"{base}.{rest[0]}.{'weight' if rest[1] == 'scale' else 'bias'}"
+                return (key, np.asarray(sd[key])) if key in sd else None
+            if rest[0] == "attn":
+                sub = rest[1]
+                if sub == "relative_position_bias_table":
+                    key = f"{base}.attn.relative_position_bias_table"
+                    return (key, np.asarray(sd[key])) if key in sd else None
+                lf = rest[2]
+                key = f"{base}.attn.{sub}.{'weight' if lf == 'kernel' else 'bias'}"
+                if key in sd:
+                    w = np.asarray(sd[key])
+                    return key, (t(w) if lf == "kernel" else w)
+                return None
+            if rest[0] == "mlp":
+                sub, lf = rest[1], rest[2]
+                key = f"{base}.mlp.{sub}.{'weight' if lf == 'kernel' else 'bias'}"
+                if key in sd:
+                    w = np.asarray(sd[key])
+                    return key, (t(w) if lf == "kernel" else w)
+                return None
+        return None
+
+    return _generic_fill(flax_encoder, resolve)
+
+
+def load_swin_dualpath(params, ckpt_path: str):
+    logger = get_logger()
+    sd = load_torch_state_dict(ckpt_path)
+    new, loaded, missing = convert_swin_dual(params["backbone"], sd)
+    logger.info("swin dual ingest: %d loaded, %d fresh", len(loaded),
+                len(missing))
+    out = dict(params)
+    out["backbone"] = new
+    return out

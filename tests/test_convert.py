@@ -224,3 +224,58 @@ def test_mit_dualpath_ingest():
     np.testing.assert_array_equal(got, sd["block1.0.attn.q.weight"].T)
     outs = jax.jit(trunk.apply)({"params": new}, x)
     assert len(outs) == 4
+
+
+def test_swin_dualpath_ingest():
+    from sigma_tpu.models.swin_encoder import DualSwinEncoder
+    from sigma_tpu.utils.convert import convert_swin_dual
+
+    enc = DualSwinEncoder(
+        embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+        window_size=4, attn_drop_rate=0.0,
+    )
+    x = jnp.zeros((1, 32, 32, 3))
+    v = jax.jit(lambda: enc.init(KEY, x, x))()
+
+    rng = np.random.default_rng(3)
+    sd = {}
+
+    def add(k, *shape):
+        sd[k] = rng.standard_normal(shape).astype(np.float32)
+
+    add("patch_embed.proj.weight", 8, 3, 4, 4)
+    add("patch_embed.proj.bias", 8)
+    add("patch_embed.norm.weight", 8)
+    add("patch_embed.norm.bias", 8)
+    dim = 8
+    for i in range(4):
+        b = f"layers.{i}.blocks.0"
+        for nm in ("norm1", "norm2"):
+            add(f"{b}.{nm}.weight", dim)
+            add(f"{b}.{nm}.bias", dim)
+        add(f"{b}.attn.qkv.weight", 3 * dim, dim)
+        add(f"{b}.attn.qkv.bias", 3 * dim)
+        add(f"{b}.attn.proj.weight", dim, dim)
+        add(f"{b}.attn.proj.bias", dim)
+        add(f"{b}.attn.relative_position_bias_table", 49, (1, 2, 4, 8)[i])
+        add(f"{b}.mlp.fc1.weight", 4 * dim, dim)
+        add(f"{b}.mlp.fc1.bias", 4 * dim)
+        add(f"{b}.mlp.fc2.weight", dim, 4 * dim)
+        add(f"{b}.mlp.fc2.bias", dim)
+        if i < 3:
+            add(f"layers.{i}.downsample.reduction.weight", 2 * dim, 4 * dim)
+            add(f"layers.{i}.downsample.norm.weight", 4 * dim)
+            add(f"layers.{i}.downsample.norm.bias", 4 * dim)
+            dim *= 2
+
+    new, loaded, missing = convert_swin_dual(v["params"], sd)
+    # both trunks filled from the same checkpoint
+    got = np.asarray(new["layers_0_blocks_0"]["attn"]["qkv"]["kernel"])
+    got_d = np.asarray(new["layers_d_0_blocks_0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_array_equal(got, sd["layers.0.blocks.0.attn.qkv.weight"].T)
+    np.testing.assert_array_equal(got, got_d)
+    # fusion modules remain fresh
+    assert any("frm" in m or "ffm" in m for m in missing)
+    # converted encoder runs
+    outs, _ = enc.apply({"params": new}, x, x, mutable=["batch_stats"])
+    assert len(outs) == 4
