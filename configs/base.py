@@ -81,6 +81,9 @@ class Config:
 
     # --- TPU-build extensions ---
     bf16: bool = False  # bf16 matmul activations (scan stays fp32)
+    # ship uint8 batches and normalize/zero-pad on device (4x less
+    # host->device traffic; semantically identical)
+    device_norm: bool = True
     scan_chunk: int = 128
     # Reproduce the reference trainer's optimizer-grouping quirk that leaves
     # raw SSM tensors (x_proj/dt_projs/A_logs/Ds/scale1/scale2) unstepped

@@ -83,7 +83,12 @@ class RGBXDataset:
 
         if self.preprocess is not None:
             rng = rng if rng is not None else self._rng
-            rgb, gt, x = self.preprocess(rng, rgb, gt, x)
+            out = self.preprocess(rng, rgb, gt, x)
+            if isinstance(out, dict):  # device-norm path: extra fields
+                out = dict(out)
+                out.update(fn=str(item_name), n=len(self._file_names))
+                return out
+            rgb, gt, x = out
         return dict(
             data=rgb, label=gt, modal_x=x, fn=str(item_name),
             n=len(self._file_names),

@@ -78,9 +78,9 @@ class TrainLoader:
                     ]
                     items = [f.result() for f in futs]
                     batch = {
-                        "data": np.stack([x["data"] for x in items]),
-                        "label": np.stack([x["label"] for x in items]),
-                        "modal_x": np.stack([x["modal_x"] for x in items]),
+                        k: np.stack([x[k] for x in items])
+                        for k, v in items[0].items()
+                        if isinstance(v, np.ndarray)
                     }
                     out_q.put(batch)
             out_q.put(None)

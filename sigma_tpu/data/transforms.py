@@ -88,11 +88,15 @@ class TrainPre:
     below is the semantic reference. Both consume the SAME random draws in
     the same order, so a given (seed, index) yields the same geometry."""
 
-    def __init__(self, norm_mean, norm_std, config, use_native: bool = True):
+    def __init__(self, norm_mean, norm_std, config, use_native: bool = True,
+                 device_norm: bool = False):
         self.norm_mean = np.asarray(norm_mean, np.float32)
         self.norm_std = np.asarray(norm_std, np.float32)
         self.config = config
         self.use_native = use_native
+        # device_norm: emit uint8 canvases + pad margins and let the train
+        # step normalize/zero-pad on device — 4x less host->device traffic
+        self.device_norm = device_norm
 
     def _draws(self, rng):
         cfg = self.config
@@ -121,6 +125,33 @@ class TrainPre:
             modal_x = _resize(modal_x, sw, sh)
 
         crop_pos = generate_random_crop_pos(rng, rgb.shape[:2], crop_size)
+
+        if self.device_norm:
+            h, w = rgb.shape[:2]
+            ch, cw = crop_size
+            copy_h = min(ch, h - crop_pos[0])
+            copy_w = min(cw, w - crop_pos[1])
+            pad_t = (ch - copy_h) // 2
+            pad_l = (cw - copy_w) // 2
+
+            def crop_pad_u8(img, pad_val):
+                sl = img[crop_pos[0] : crop_pos[0] + copy_h,
+                         crop_pos[1] : crop_pos[1] + copy_w]
+                pads = [(pad_t, ch - copy_h - pad_t),
+                        (pad_l, cw - copy_w - pad_l)]
+                if img.ndim == 3:
+                    pads.append((0, 0))
+                return np.pad(sl, pads, constant_values=pad_val)
+
+            return dict(
+                data=crop_pad_u8(rgb.astype(np.uint8), 0),
+                label=crop_pad_u8(gt.astype(np.uint8), 255),
+                modal_x=crop_pad_u8(modal_x.astype(np.uint8), 0),
+                margins=np.array(
+                    [pad_t, ch - copy_h - pad_t, pad_l, cw - copy_w - pad_l],
+                    np.int32,
+                ),
+            )
 
         from sigma_tpu.data import native
 

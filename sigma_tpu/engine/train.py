@@ -48,15 +48,53 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    norm_mean=None,
+    norm_std=None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, loss).
 
-    batch: {"data": (B,H,W,3) f32, "modal_x": (B,H,W,3) f32,
-            "label": (B,H,W) i32}
+    batch: {"data": (B,H,W,3), "modal_x": (B,H,W,3), "label": (B,H,W)}.
+    When the images arrive as uint8 (device-norm input path, 4x less
+    host->device traffic), normalization and the zero-pad margins (key
+    "margins", (B,4) = top/bottom/left/right) are applied on device —
+    semantically identical to the host float pipeline
+    (dataloader.py:37-45 of the reference).
     """
+    mean = jnp.asarray(
+        norm_mean if norm_mean is not None else (0.485, 0.456, 0.406),
+        jnp.float32,
+    )
+    std = jnp.asarray(
+        norm_std if norm_std is not None else (0.229, 0.224, 0.225),
+        jnp.float32,
+    )
+
+    def _prep(batch):
+        data = batch["data"]
+        if data.dtype != jnp.uint8:
+            return data, batch["modal_x"], batch["label"]
+
+        def norm(img):
+            return (img.astype(jnp.float32) / 255.0 - mean) / std
+
+        b, h, w, _ = data.shape
+        m = batch["margins"]  # (B, 4)
+        rows = jnp.arange(h)[None, :, None]
+        cols = jnp.arange(w)[None, None, :]
+        mask = (
+            (rows >= m[:, 0, None, None])
+            & (rows < h - m[:, 1, None, None])
+            & (cols >= m[:, 2, None, None])
+            & (cols < w - m[:, 3, None, None])
+        )[..., None]
+        rgb = norm(data) * mask
+        mx = norm(batch["modal_x"]) * mask
+        return rgb, mx, batch["label"].astype(jnp.int32)
 
     def step_fn(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        rgb_in, mx_in, labels = _prep(batch)
+        batch_prepped = dict(batch, data=rgb_in, modal_x=mx_in, label=labels)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -66,19 +104,19 @@ def make_train_step(
                 kwargs["mutable"] = ["batch_stats"]
             out = model.apply(
                 variables,
-                batch["data"],
-                batch["modal_x"],
+                batch_prepped["data"],
+                batch_prepped["modal_x"],
                 deterministic=False,
                 return_aux=True,
                 rngs={"dropout": dropout_rng},
                 **kwargs,
             )
             (logits, aux), new_vars = out if kwargs else (out, {})
-            loss = segmentation_loss(logits, batch["label"])
+            loss = segmentation_loss(logits, batch_prepped["label"])
             if aux is not None:
                 # auxiliary FCN-head loss (reference builder.py:152-156)
                 loss = loss + getattr(model, "aux_rate", 0.4) * (
-                    segmentation_loss(aux, batch["label"])
+                    segmentation_loss(aux, batch_prepped["label"])
                 )
             return loss, new_vars.get("batch_stats")
 

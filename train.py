@@ -121,7 +121,8 @@ def main(argv=None):
     # --- data ---
     dataset = RGBXDataset(
         cfg.data_setting(), "train",
-        TrainPre(cfg.norm_mean, cfg.norm_std, cfg),
+        TrainPre(cfg.norm_mean, cfg.norm_std, cfg,
+                 device_norm=cfg.device_norm),
         file_length=cfg.batch_size * cfg.niters_per_epoch,
         seed=cfg.seed,
     )
@@ -169,7 +170,10 @@ def main(argv=None):
         start_epoch = last_epoch + 1
         logger.info("resumed from epoch %d", last_epoch)
 
-    train_step = make_train_step(model, tx, mesh=mesh)
+    train_step = make_train_step(
+        model, tx, mesh=mesh,
+        norm_mean=cfg.norm_mean, norm_std=cfg.norm_std,
+    )
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
 
     tb = None
@@ -199,32 +203,32 @@ def main(argv=None):
     total_steps = 0
     for epoch in range(start_epoch, cfg.nepochs + 1):
         loader.set_epoch(epoch)
-        epoch_loss, t_epoch = 0.0, time.time()
+        t_epoch = time.time()
+        losses = []  # device scalars; only synced at log points
+        epoch_steps = 0
         for it, batch in enumerate(loader):
-            batch = shard_batch(mesh, {
-                "data": batch["data"],
-                "modal_x": batch["modal_x"],
-                "label": batch["label"],
-            })
+            batch = shard_batch(mesh, batch)
             state, loss = train_step(state, batch, step_rng)
+            losses.append(loss)
             total_steps += 1
+            epoch_steps += 1
             if (it + 1) % 10 == 0 or it == 0:
+                # sync point: one host readback per 10 iters so input
+                # uploads overlap device compute in between
                 lr_now = float(schedule(total_steps))
                 logger.info(
                     "epoch %d iter %d/%d loss %.4f lr %.3e",
                     epoch, it + 1, cfg.niters_per_epoch, float(loss), lr_now,
                 )
-            epoch_loss += float(loss)
             if args.steps and total_steps >= args.steps:
                 break
+        epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         logger.info(
             "epoch %d done in %.1fs mean-loss %.4f",
-            epoch, time.time() - t_epoch,
-            epoch_loss / max(1, min(cfg.niters_per_epoch, total_steps)),
+            epoch, time.time() - t_epoch, epoch_loss,
         )
         if tb is not None:
-            tb.add_scalar("train_loss",
-                          epoch_loss / max(1, cfg.niters_per_epoch), epoch)
+            tb.add_scalar("train_loss", epoch_loss, epoch)
 
         should_ckpt = (
             epoch >= cfg.checkpoint_start_epoch
