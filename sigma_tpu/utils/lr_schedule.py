@@ -32,6 +32,21 @@ def poly_lr(start_lr: float, lr_power: float, total_iters: int):
     return schedule
 
 
+def multi_stage_lr(lr_stages):
+    """MultiStageLR (lr_policy.py:44-53): piecewise-constant by step
+    boundaries; `lr_stages` = [(until_step, lr), ...]."""
+    import jax.numpy as jnp
+
+    bounds = jnp.asarray([b for b, _ in lr_stages], jnp.float32)
+    values = jnp.asarray([v for _, v in lr_stages], jnp.float32)
+
+    def schedule(step):
+        idx = jnp.sum(jnp.asarray(step, jnp.float32) >= bounds)
+        return values[jnp.clip(idx, 0, len(lr_stages) - 1)]
+
+    return schedule
+
+
 def linear_increase_lr(start_lr: float, end_lr: float, warm_iters: int):
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)

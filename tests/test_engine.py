@@ -225,3 +225,13 @@ def test_metrics_reference_semantics():
     assert hist[2, 1] == 1  # gt=2 predicted as 1
     iou, miou, *_ = compute_score(hist, correct, labeled)
     assert iou[0] == 1.0 and iou[1] == 0.5 and iou[2] == 0.0
+
+
+def test_multi_stage_lr():
+    from sigma_tpu.utils.lr_schedule import multi_stage_lr
+
+    sched = multi_stage_lr([(100, 1e-3), (200, 1e-4), (300, 1e-5)])
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(150)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(250)), 1e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(999)), 1e-5, rtol=1e-6)

@@ -237,8 +237,26 @@ def main(argv=None):
         if should_ckpt and jax.process_index() == 0 and cfg.checkpoint_dir:
             save_checkpoint(cfg.checkpoint_dir, state, epoch)
             if evaluator is not None:
-                miou, _ = evaluator.run({"params": state.params}, val_dataset)
+                miou, detail = evaluator.run(
+                    {"params": state.params}, val_dataset
+                )
                 logger.info("epoch %d mIoU %.2f", epoch, miou)
+                if cfg.log_dir:
+                    # per-epoch val log + rolling pointer (reference
+                    # evaluator.py:146-147 val_*.log / val_last.log)
+                    from sigma_tpu.utils.visualize import print_iou
+
+                    val_path = os.path.join(
+                        cfg.log_dir, f"val_epoch_{epoch}.log"
+                    )
+                    with open(val_path, "w") as f:
+                        f.write(f"epoch {epoch} mIoU {miou:.4f}\n")
+                        for i, iou in enumerate(detail["iou"]):
+                            f.write(f"class {i}: {iou * 100:.3f}\n")
+                    last = os.path.join(cfg.log_dir, "val_last.log")
+                    if os.path.islink(last) or os.path.exists(last):
+                        os.remove(last)
+                    os.symlink(os.path.abspath(val_path), last)
                 if tb is not None:
                     tb.add_scalar("val_miou", miou, epoch)
                 if miou > best_miou:
