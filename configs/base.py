@@ -178,6 +178,9 @@ def _pst900(**kw) -> Config:
     return Config(
         dataset_name="PST900",
         dataset_path=kw.pop("dataset_path", "datasets/PST900"),
+        rgb_folder="rgb_resize",
+        gt_folder="labels_resize",
+        x_folder="thermal_resize",
         num_train_imgs=597,
         num_eval_imgs=288,
         num_classes=5,
@@ -218,8 +221,10 @@ def _sunrgbd(**kw) -> Config:
         dataset_name="SUNRGBD",
         dataset_path=kw.pop("dataset_path", "datasets/SUNRGBD"),
         rgb_format=".jpg",
+        rgb_folder="RGB_resize",
+        gt_folder="labels_resize",
         gt_transform=True,
-        x_folder="Depth",
+        x_folder="Depth_resize",
         num_train_imgs=5285,
         num_eval_imgs=5050,
         num_classes=37,

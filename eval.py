@@ -128,16 +128,24 @@ def main(argv=None):
 
     results = {}
     for spec in parse_epochs(args.epochs, ckpt_dir):
+        batch_stats = variables.get("batch_stats")
         if isinstance(spec, str):  # direct checkpoint file
-            from sigma_tpu.utils.convert import load_vmamba_into_params
+            from sigma_tpu.utils.convert import load_checkpoint_into_params
 
-            params = load_vmamba_into_params(variables["params"], spec)
+            params = load_checkpoint_into_params(variables["params"], spec)
             label = spec
         else:
             state, epoch = restore_checkpoint(ckpt_dir, None, spec)
             params = state["params"]
+            if state.get("batch_stats") is not None:
+                batch_stats = state["batch_stats"]
             label = f"epoch-{epoch}"
-        miou, detail = evaluator.run({"params": params}, dataset)
+        eval_vars = {"params": params}
+        if batch_stats is not None:
+            # BatchNorm decoders (MLPDecoder et al.) need the running
+            # stats collection at eval time
+            eval_vars["batch_stats"] = batch_stats
+        miou, detail = evaluator.run(eval_vars, dataset)
         print_iou(
             detail["iou"],
             detail["mean_pixel_acc"],

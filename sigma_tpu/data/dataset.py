@@ -40,6 +40,7 @@ class RGBXDataset:
             self._file_names = [ln.strip() for ln in f if ln.strip()]
         self._file_length = file_length
         self.preprocess = preprocess
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._epoch_names = None
 
@@ -51,7 +52,9 @@ class RGBXDataset:
         if self._file_length is None:
             return
         n = len(self._file_names)
-        rng = np.random.default_rng(hash(("epoch", epoch)) % (2**31))
+        # deterministic across interpreters/hosts (Python hash() is salted
+        # per process, which would desync the shared epoch name list)
+        rng = np.random.default_rng((self._seed, epoch))
         names = self._file_names * (self._file_length // n)
         extra = rng.permutation(n)[: self._file_length % n]
         names += [self._file_names[i] for i in extra]

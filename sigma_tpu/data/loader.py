@@ -52,17 +52,24 @@ class TrainLoader:
         self._epoch = epoch
         self.dataset.set_epoch(epoch)
 
-    def _load_one(self, epoch, it, slot):
+    def _load_one(self, epoch, it, slot, perm):
         # deterministic per-(epoch, iter, global slot) augmentation stream
         global_idx = it * self.global_batch_size + slot
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + epoch * 65_537 + global_idx) % (2**63)
         )
-        idx = global_idx % len(self.dataset)
+        # per-epoch shuffle: all processes derive the same permutation from
+        # (seed, epoch), so the global batch partitions it without overlap —
+        # the TPU equivalent of the reference's DistributedSampler shuffle
+        # (/root/reference/dataloader/dataloader.py:77-80)
+        idx = int(perm[global_idx % len(perm)])
         return self.dataset.__getitem__(idx, rng=rng)
 
     def __iter__(self):
         epoch = self._epoch
+        perm = np.random.default_rng((self.seed, epoch)).permutation(
+            len(self.dataset)
+        )
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -73,7 +80,7 @@ class TrainLoader:
                     if stop.is_set():
                         return
                     futs = [
-                        pool.submit(self._load_one, epoch, it, base + j)
+                        pool.submit(self._load_one, epoch, it, base + j, perm)
                         for j in range(self.local_batch_size)
                     ]
                     items = [f.result() for f in futs]

@@ -31,12 +31,22 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     path = _ckpt_path(ckpt_dir, epoch)
     ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
+    # multi-host: every process calls save (orbax coordinates); only the
+    # lead process clears a stale dir, with a barrier so nobody starts
+    # writing into a directory that is mid-removal
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0 and os.path.exists(path):
+            shutil.rmtree(path)
+        multihost_utils.sync_global_devices(f"ckpt-clear-{epoch}")
+    elif os.path.exists(path):
         shutil.rmtree(path)
     ckptr.save(path, state)
     ckptr.wait_until_finished()
-    with open(os.path.join(ckpt_dir, "epoch-last"), "w") as f:
-        f.write(str(epoch))
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, "epoch-last"), "w") as f:
+            f.write(str(epoch))
     logger.info(
         "saved checkpoint %s (%.2fs)", path, time.time() - t0
     )

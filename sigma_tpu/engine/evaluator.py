@@ -213,14 +213,19 @@ class SlidingEvaluator:
         if shard_across_processes and jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            stats = jnp.concatenate(
-                [
-                    jnp.asarray(hist.reshape(-1), jnp.int64),
-                    jnp.asarray([labeled, correct], jnp.int64),
-                ]
+            # int64 on device silently downcasts to int32 without
+            # jax_enable_x64; ship the counts as a hi/lo int32 split so
+            # large val sets (pixel counts > 2^31) survive the allgather
+            stats = np.concatenate(
+                [hist.reshape(-1), np.asarray([labeled, correct])]
+            ).astype(np.int64)
+            lo = (stats & 0x7FFFFFFF).astype(np.int32)
+            hi = (stats >> 31).astype(np.int32)
+            both = multihost_utils.process_allgather(
+                np.stack([lo, hi]).astype(np.int32)
             )
-            total = multihost_utils.process_allgather(stats).sum(axis=0)
-            total = np.asarray(total)
+            both = np.asarray(both, np.int64)  # (P, 2, M)
+            total = (both[:, 0] + (both[:, 1] << 31)).sum(axis=0)
             hist = total[:-2].reshape(self.class_num, self.class_num)
             labeled, correct = int(total[-2]), int(total[-1])
         iou, mean_iou, miou_nb, fwiou, macc, pacc = compute_score(

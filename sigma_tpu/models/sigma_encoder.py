@@ -91,6 +91,11 @@ SIGMA_VARIANTS = {
     "sigma_test": dict(
         depths=(1, 1, 2, 1), dims=(16, 32, 64, 128), drop_path_rate=0.1
     ),
+    # parity-test scale: smallest dims where the reference ChannelAttention
+    # squeeze (dim // 30) stays non-degenerate (vmamba.py:1731)
+    "sigma_mini": dict(
+        depths=(1, 1, 2, 1), dims=(32, 64, 128, 256), drop_path_rate=0.1
+    ),
     "sigma_tiny": dict(
         depths=(2, 2, 9, 2), dims=(96, 192, 384, 768), drop_path_rate=0.2
     ),

@@ -187,6 +187,222 @@ def load_vmamba_into_params(params: Any, ckpt_path: str):
 
 
 # ---------------------------------------------------------------------------
+# Full trained-Sigma checkpoint converter: maps a COMPLETE torch Sigma model
+# (Siamese trunk + CroMB/ConMB fusion + MambaDecoder) to the flax tree, so
+# `eval.py -e <sigma>.pth` can score reference-released checkpoints.
+# Envelope handling (`model`/`state_dict`/`module` keys, `module.` strip)
+# follows /root/reference/utils/pyt_utils.py:155-192.
+# ---------------------------------------------------------------------------
+
+_T = lambda w: w.T
+_CONV = lambda w: np.transpose(w, (2, 3, 1, 0))
+_K_T = lambda w: np.transpose(w, (0, 2, 1))
+_CONV1x1 = lambda w: w[:, :, 0, 0].T  # torch (O,I,1,1) -> flax Dense (I,O)
+_ID = lambda w: w
+
+
+def _ss2d_op_key(base: str, rest) -> "tuple[str, Any] | None":
+    """Resolve a flax path under an SS2D `op` module to (torch_key, fn).
+
+    base = torch prefix of the op module (e.g. '...blocks.0.op')."""
+    if rest[0] in ("in_proj", "out_proj"):
+        if rest[1] == "kernel":
+            return f"{base}.{rest[0]}.weight", _T
+        return f"{base}.{rest[0]}.bias", _ID
+    if rest[0] == "conv2d":
+        if rest[1] == "kernel":
+            return f"{base}.conv2d.weight", _CONV
+        return f"{base}.conv2d.bias", _ID
+    if rest[0] == "ssm":
+        fn = {"x_proj_weight": _K_T, "dt_projs_weight": _K_T}.get(rest[1], _ID)
+        return f"{base}.{rest[1]}", fn
+    if rest[0] == "out_norm":
+        return (
+            f"{base}.out_norm.{'weight' if rest[1] == 'scale' else 'bias'}",
+            _ID,
+        )
+    return None
+
+
+def _cromb_op_key(base: str, rest) -> "tuple[str, Any] | None":
+    """CrossMambaFusion_SS2D_SSM op (vmamba.py:1549-1640 + CMA_ssm
+    Cross_Mamba_Attention_SSM vmamba.py:1407-1545)."""
+    name = rest[0]
+    if name in ("in_proj", "in_proj_modalx", "out_proj_rgb", "out_proj_e"):
+        if rest[1] == "kernel":
+            return f"{base}.{name}.weight", _T
+        return f"{base}.{name}.bias", _ID
+    if name == "conv2d":
+        if rest[1] == "kernel":
+            return f"{base}.conv2d.weight", _CONV
+        return f"{base}.conv2d.bias", _ID
+    if name.startswith("x_proj_"):
+        return f"{base}.CMA_ssm.{name}.weight", _T
+    if name.startswith("dt_proj_"):
+        # flax: dt_proj_{s}_weight / dt_proj_{s}_bias
+        stem, leaf = name.rsplit("_", 1)
+        return f"{base}.CMA_ssm.{stem}.{leaf}", (_T if leaf == "weight" else _ID)
+    if name.startswith("A_log_") or name.startswith("D_"):
+        return f"{base}.CMA_ssm.{name}", _ID
+    if name.startswith("out_norm_"):
+        return (
+            f"{base}.CMA_ssm.{name}.{'weight' if rest[1] == 'scale' else 'bias'}",
+            _ID,
+        )
+    return None
+
+
+def _conmb_op_key(base: str, rest) -> "tuple[str, Any] | None":
+    """ConMB_SS2D op (vmamba.py:1092-1284)."""
+    name = rest[0]
+    if name in ("in_proj", "in_proj_modalx", "out_proj"):
+        if rest[1] == "kernel":
+            return f"{base}.{name}.weight", _T
+        return f"{base}.{name}.bias", _ID
+    if name in ("conv2d", "conv2d_modalx"):
+        if rest[1] == "kernel":
+            return f"{base}.{name}.weight", _CONV
+        return f"{base}.{name}.bias", _ID
+    if name == "ssm":
+        fn = {"x_proj_weight": _K_T, "dt_projs_weight": _K_T}.get(rest[1], _ID)
+        return f"{base}.{rest[1]}", fn
+    if name in ("out_norm1", "out_norm2"):
+        return (
+            f"{base}.{name}.{'weight' if rest[1] == 'scale' else 'bias'}",
+            _ID,
+        )
+    if name.startswith(("fc1_", "fc2_")):
+        # flax fc1_0/fc1_1 <- torch fc1.0/fc1.2 (Sequential with SiLU at 1)
+        seq, idx = name.split("_")
+        return f"{base}.{seq}.{0 if idx == '0' else 2}.weight", _T
+    return None
+
+
+def _cvss_block_key(base: str, rest) -> "tuple[str, Any] | None":
+    """CVSSDecoderBlock (vmamba.py:1760-1811): scale1/2, norm1/2, op (SS2D),
+    conv_blk = ChannelAttentionBlock `cab` Sequential (vmamba.py:1744-1757)."""
+    name = rest[0]
+    if name in ("scale1", "scale2"):
+        return f"{base}.{name}", _ID
+    if name in ("norm1", "norm2"):
+        return (
+            f"{base}.{name}.{'weight' if rest[1] == 'scale' else 'bias'}",
+            _ID,
+        )
+    if name == "op":
+        return _ss2d_op_key(f"{base}.op", rest[1:])
+    if name == "conv_blk":
+        sub = rest[1]
+        if sub == "conv1":
+            key = f"{base}.conv_blk.cab.0.{'weight' if rest[2] == 'kernel' else 'bias'}"
+            return key, (_CONV if rest[2] == "kernel" else _ID)
+        if sub == "conv2":
+            key = f"{base}.conv_blk.cab.2.{'weight' if rest[2] == 'kernel' else 'bias'}"
+            return key, (_CONV if rest[2] == "kernel" else _ID)
+        if sub == "attn":
+            fc = {"fc_0": 0, "fc_1": 2}[rest[2]]
+            return f"{base}.conv_blk.cab.3.fc.{fc}.weight", _CONV1x1
+    return None
+
+
+def _sigma_full_resolve(parts, sd):
+    """Map a flax EncoderDecoder param path to (torch_key, transform)."""
+    if parts[0] == "backbone":
+        sub = parts[1]
+        if sub == "vssm":
+            for key, fn in _torch_candidates(parts[2:]):
+                if f"backbone.vssm.{key}" in sd:
+                    return f"backbone.vssm.{key}", fn
+            return None
+        if sub.startswith("cross_mamba_"):
+            i = sub[len("cross_mamba_"):]
+            assert parts[2] == "op"
+            return _cromb_op_key(f"backbone.cross_mamba.{i}.op", parts[3:])
+        if sub.startswith("channel_attn_mamba_"):
+            i = sub[len("channel_attn_mamba_"):]
+            assert parts[2] == "op"
+            return _conmb_op_key(
+                f"backbone.channel_attn_mamba.{i}.op", parts[3:]
+            )
+        return None
+    if parts[0] == "decode_head":
+        sub = parts[1]
+        if sub == "layers_up_0":
+            if parts[2] == "expand":
+                return "decode_head.layers_up.0.expand.weight", _T
+            return (
+                f"decode_head.layers_up.0.norm.{'weight' if parts[3] == 'scale' else 'bias'}",
+                _ID,
+            )
+        if sub.startswith("layers_up_"):
+            i = sub[len("layers_up_"):]
+            base = f"decode_head.layers_up.{i}"
+            if parts[2].startswith("blocks_"):
+                j = parts[2][len("blocks_"):]
+                return _cvss_block_key(f"{base}.blocks.{j}", parts[3:])
+            if parts[2] == "upsample":
+                if parts[3] == "linear":
+                    return f"{base}.upsample.linear.weight", _T
+                return (
+                    f"{base}.upsample.norm.{'weight' if parts[4] == 'scale' else 'bias'}",
+                    _ID,
+                )
+            return None
+        if sub == "norm_up":
+            return (
+                f"decode_head.norm_up.{'weight' if parts[2] == 'scale' else 'bias'}",
+                _ID,
+            )
+        if sub == "up":
+            if parts[2] in ("linear1", "linear2"):
+                return f"decode_head.up.{parts[2]}.weight", _T
+            return (
+                f"decode_head.up.norm.{'weight' if parts[3] == 'scale' else 'bias'}",
+                _ID,
+            )
+        if sub == "output":
+            return "decode_head.output.weight", _CONV1x1
+    return None
+
+
+def convert_sigma_full(params: Any, sd: Dict[str, np.ndarray]):
+    """Fill a full EncoderDecoder params tree from a trained torch Sigma
+    state dict. Returns (new_params, loaded, missing)."""
+    sd = _strip(sd)
+
+    def resolve(parts, leaf):
+        got = _sigma_full_resolve(parts, sd)
+        if got is None:
+            return None
+        key, fn = got
+        if key not in sd:
+            return None
+        return key, fn(np.asarray(sd[key]))
+
+    return _generic_fill(params, resolve)
+
+
+def load_checkpoint_into_params(params: Any, ckpt_path: str):
+    """Dispatch: full trained Sigma checkpoint -> convert_sigma_full;
+    trunk-only VMamba ImageNet checkpoint -> load_vmamba_into_params."""
+    logger = get_logger()
+    sd = _strip(load_torch_state_dict(ckpt_path))
+    if any(k.startswith(("backbone.", "decode_head.")) for k in sd):
+        new_params, loaded, missing = convert_sigma_full(params, sd)
+        unexpected = sorted(set(sd) - set(loaded))
+        logger.info(
+            "sigma full ingest: %d loaded, %d fresh-init, %d unexpected",
+            len(loaded), len(missing), len(unexpected),
+        )
+        if missing:
+            logger.warning("missing (fresh init): %s", missing[:20])
+        if unexpected:
+            logger.debug("unexpected: %s", unexpected[:20])
+        return new_params
+    return load_vmamba_into_params(params, ckpt_path)
+
+
+# ---------------------------------------------------------------------------
 # Dual-path ingest for the alternative backbones: the reference duplicates
 # single-trunk ImageNet weights into both modality trunks
 # (dual_segformer.py:438-473 `load_dualpath_model`, dual_swin.py analogue).

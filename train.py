@@ -234,14 +234,22 @@ def main(argv=None):
             epoch >= cfg.checkpoint_start_epoch
             and epoch % cfg.checkpoint_step == 0
         ) or epoch == cfg.nepochs or (args.steps and total_steps >= args.steps)
-        if should_ckpt and jax.process_index() == 0 and cfg.checkpoint_dir:
+        # NOTE: checkpoint save and evaluator.run are collective — every
+        # process must enter (orbax coordinates the multi-host write; the
+        # evaluator self-shards the val set and all-gathers confusion
+        # matrices). Only logging/pruning side effects are rank-0 gated.
+        # Reference semantics: rank-0 in-train val, train.py:213-246.
+        if should_ckpt and cfg.checkpoint_dir:
             save_checkpoint(cfg.checkpoint_dir, state, epoch)
             if evaluator is not None:
-                miou, detail = evaluator.run(
-                    {"params": state.params}, val_dataset
-                )
-                logger.info("epoch %d mIoU %.2f", epoch, miou)
-                if cfg.log_dir:
+                eval_vars = {"params": state.params}
+                if state.batch_stats is not None:
+                    eval_vars["batch_stats"] = state.batch_stats
+                miou, detail = evaluator.run(eval_vars, val_dataset)
+                is_main = jax.process_index() == 0
+                if is_main:
+                    logger.info("epoch %d mIoU %.2f", epoch, miou)
+                if cfg.log_dir and is_main:
                     # per-epoch val log + rolling pointer (reference
                     # evaluator.py:146-147 val_*.log / val_last.log)
                     from sigma_tpu.utils.visualize import print_iou
@@ -261,8 +269,11 @@ def main(argv=None):
                     tb.add_scalar("val_miou", miou, epoch)
                 if miou > best_miou:
                     best_miou, best_epoch = miou, epoch
-                logger.info("best mIoU %.2f @ epoch %d", best_miou, best_epoch)
-                prune_checkpoints(cfg.checkpoint_dir, best_epoch)
+                if is_main:
+                    logger.info(
+                        "best mIoU %.2f @ epoch %d", best_miou, best_epoch
+                    )
+                    prune_checkpoints(cfg.checkpoint_dir, best_epoch)
         if args.steps and total_steps >= args.steps:
             break
 
