@@ -81,6 +81,9 @@ class Config:
 
     # --- TPU-build extensions ---
     bf16: bool = False  # bf16 matmul activations (scan stays fp32)
+    # MambaDecoder deep-supervision aux heads; off upstream too
+    # (reference builder.py:102, MambaDecoder.py:210-212)
+    deep_supervision: bool = False
     # ship uint8 batches and normalize/zero-pad on device (4x less
     # host->device traffic; semantically identical)
     device_norm: bool = True

@@ -66,23 +66,34 @@ class SlidingEvaluator:
 
     # --- device side ---------------------------------------------------
     def _forward(self, variables, rgb, modal_x):
+        """rgb/modal_x: (nw[, 2], H, W, 3) — optional flip axis 1.
+
+        Returns exp-scores (nw, H, W, C). All windows of an image/scale ride
+        one batched call (the reference loops one cuda call per window,
+        evaluator.py:501-522; batching is the TPU-friendly shape).
+        """
         shape = rgb.shape
         if shape not in self._jitted:
             model = self.model
+            flip = rgb.ndim == 5
 
             def fwd(variables, rgb, modal_x):
-                logits = model.apply(variables, rgb, modal_x)
-                if logits.shape[0] == 2:  # flip TTA on the batch axis
-                    logits = logits[0] + logits[1, :, ::-1]
+                if flip:
+                    nw = rgb.shape[0]
+                    rgb_ = rgb.reshape((-1,) + rgb.shape[2:])
+                    mx_ = modal_x.reshape((-1,) + modal_x.shape[2:])
+                    logits = model.apply(variables, rgb_, mx_)
+                    logits = logits.reshape((nw, 2) + logits.shape[1:])
+                    logits = logits[:, 0] + logits[:, 1, :, ::-1]
                 else:
-                    logits = logits[0]
+                    logits = model.apply(variables, rgb, modal_x)
                 return jnp.exp(logits.astype(jnp.float32))
 
             self._jitted[shape] = jax.jit(fwd)
         return self._jitted[shape](variables, rgb, modal_x)
 
-    def _score_window(self, variables, img, modal_x, crop_size):
-        """normalize + pad + forward; returns (score HWC np, margin)."""
+    def _prep_window(self, img, modal_x, crop_size):
+        """normalize + pad one window; returns (rgb HW3, x HW3, margin)."""
         p_img = normalize(img, self.norm_mean, self.norm_std)
         if modal_x.ndim == 2:
             p_x = normalize(modal_x, 0.0, 1.0)
@@ -92,15 +103,36 @@ class SlidingEvaluator:
         p_x, _ = pad_image_to_shape(p_x, crop_size, 0)
         if p_x.ndim == 2:
             p_x = np.stack([p_x, p_x, p_x], axis=-1)
+        return p_img, p_x, margin
 
+    def _score_windows(self, variables, windows, crop_size):
+        """Batch-forward a list of (img, modal_x) windows.
+
+        Returns (scores (nw, H, W, C) np, margins list). Flip TTA rides the
+        same device call on an inner axis.
+        """
+        rgbs, mxs, margins = [], [], []
+        for img, modal_x in windows:
+            p_img, p_x, margin = self._prep_window(img, modal_x, crop_size)
+            rgbs.append(p_img)
+            mxs.append(p_x)
+            margins.append(margin)
+        rgb = np.stack(rgbs)
+        mx = np.stack(mxs)
         if self.is_flip:
-            rgb = np.stack([p_img, p_img[:, ::-1]])
-            mx = np.stack([p_x, p_x[:, ::-1]])
-        else:
-            rgb = p_img[None]
-            mx = p_x[None]
-        score = np.asarray(self._forward(variables, jnp.asarray(rgb), jnp.asarray(mx)))
-        return score, margin
+            rgb = np.stack([rgb, rgb[:, :, ::-1]], axis=1)
+            mx = np.stack([mx, mx[:, :, ::-1]], axis=1)
+        scores = np.asarray(
+            self._forward(variables, jnp.asarray(rgb), jnp.asarray(mx))
+        )
+        return scores, margins
+
+    def _score_window(self, variables, img, modal_x, crop_size):
+        """normalize + pad + forward; returns (score HWC np, margin)."""
+        scores, margins = self._score_windows(
+            variables, [(img, modal_x)], crop_size
+        )
+        return scores[0], margins[0]
 
     # --- host-side sliding logic ----------------------------------------
     def scale_process(self, variables, img, modal_x, ori_shape, crop_size,
@@ -124,6 +156,7 @@ class SlidingEvaluator:
             r_grid = int(np.ceil((pad_rows - crop_size[0]) / stride[0])) + 1
             c_grid = int(np.ceil((pad_cols - crop_size[1]) / stride[1])) + 1
             acc = np.zeros((pad_rows, pad_cols, self.class_num), np.float32)
+            spans, windows = [], []
             for gy in range(r_grid):
                 for gx in range(c_grid):
                     # NOTE: stride/extent index swap kept from the reference
@@ -134,14 +167,20 @@ class SlidingEvaluator:
                     e_y = min(s_y + crop_size[1], pad_rows)
                     s_x = e_x - crop_size[0]
                     s_y = e_y - crop_size[1]
-                    img_sub = img_pad[s_y:e_y, s_x:e_x]
-                    x_sub = x_pad[s_y:e_y, s_x:e_x]
-                    win, tm = self._score_window(variables, img_sub, x_sub, crop_size)
-                    win = win[
-                        tm[0] : win.shape[0] - tm[1],
-                        tm[2] : win.shape[1] - tm[3],
-                    ]
-                    acc[s_y:e_y, s_x:e_x] += win
+                    spans.append((s_y, e_y, s_x, e_x))
+                    windows.append(
+                        (img_pad[s_y:e_y, s_x:e_x], x_pad[s_y:e_y, s_x:e_x])
+                    )
+            # all grid windows in ONE batched device call
+            scores, margins = self._score_windows(
+                variables, windows, crop_size
+            )
+            for (s_y, e_y, s_x, e_x), win, tm in zip(spans, scores, margins):
+                win = win[
+                    tm[0] : win.shape[0] - tm[1],
+                    tm[2] : win.shape[1] - tm[3],
+                ]
+                acc[s_y:e_y, s_x:e_x] += win
             score = acc[
                 margin[0] : acc.shape[0] - margin[1],
                 margin[2] : acc.shape[1] - margin[3],

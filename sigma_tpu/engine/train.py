@@ -113,7 +113,12 @@ def make_train_step(
             )
             (logits, aux), new_vars = out if kwargs else (out, {})
             loss = segmentation_loss(logits, batch_prepped["label"])
-            if aux is not None:
+            if isinstance(aux, (list, tuple)):
+                # deep-supervision heads, unit weight each
+                # (reference builder.py:158-165)
+                for a in aux:
+                    loss = loss + segmentation_loss(a, batch_prepped["label"])
+            elif aux is not None:
                 # auxiliary FCN-head loss (reference builder.py:152-156)
                 loss = loss + getattr(model, "aux_rate", 0.4) * (
                     segmentation_loss(aux, batch_prepped["label"])

@@ -37,6 +37,7 @@ class EncoderDecoder(nn.Module):
     drop_path_rate: float | None = None  # None -> variant default
     ln_eps: float = LN_EPS
     scan_chunk: int = 128
+    deep_supervision: bool = False  # MambaDecoder aux heads (builder.py:102)
     dtype: Dtype = jnp.float32
 
     aux_rate: float = 0.4  # aux-head loss weight (builder.py:87,96)
@@ -85,9 +86,14 @@ class EncoderDecoder(nn.Module):
                 embed_dim=dims[0],
                 ln_eps=self.ln_eps,
                 scan_chunk=self.scan_chunk,
+                deep_supervision=self.deep_supervision,
                 dtype=self.dtype,
                 name="decode_head",
             )(feats, deterministic=deterministic)
+            if self.deep_supervision:
+                # aux = list of full-res DS logits, each CE-weighted 1.0
+                # (reference builder.py:158-165)
+                logits, aux = logits
         elif self.decoder == "MLPDecoder":
             logits = MLPDecoder(
                 num_classes=self.num_classes,
@@ -130,7 +136,12 @@ class EncoderDecoder(nn.Module):
         if logits.shape[1:3] != (h, w):
             logits = resize_bilinear(logits, h, w)
         if return_aux:
-            if aux is not None and aux.shape[1:3] != (h, w):
+            if isinstance(aux, (list, tuple)):
+                aux = [
+                    resize_bilinear(a, h, w) if a.shape[1:3] != (h, w) else a
+                    for a in aux
+                ]
+            elif aux is not None and aux.shape[1:3] != (h, w):
                 aux = resize_bilinear(aux, h, w)
             return logits, aux
         return logits
@@ -143,6 +154,7 @@ def build_model(cfg) -> EncoderDecoder:
         backbone=cfg.backbone,
         decoder=cfg.decoder,
         decoder_embed_dim=getattr(cfg, "decoder_embed_dim", 512),
+        deep_supervision=getattr(cfg, "deep_supervision", False),
         dtype=jnp.bfloat16 if getattr(cfg, "bf16", False) else jnp.float32,
     )
 

@@ -144,6 +144,7 @@ class MambaDecoder(nn.Module):
     drop_path_rate: float = 0.1
     ln_eps: float = LN_EPS
     scan_chunk: int = 128
+    deep_supervision: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -153,6 +154,7 @@ class MambaDecoder(nn.Module):
         dpr = np.linspace(0.0, self.drop_path_rate, sum(depths))
 
         y = None
+        ds_feats = []  # deep-supervision taps (MambaDecoder.py:240-257)
         for i in range(n):
             lvl = n - 1 - i  # pyramid level consumed at this layer
             dim = int(self.embed_dim * 2**lvl)
@@ -161,6 +163,10 @@ class MambaDecoder(nn.Module):
                     dim=dim, ln_eps=self.ln_eps, dtype=self.dtype,
                     name="layers_up_0",
                 )(inputs[lvl])
+                if self.deep_supervision:
+                    ds_feats.append(
+                        nn.LayerNorm(epsilon=self.ln_eps, name="norm_ds_0")(y)
+                    )
             else:
                 skip = inputs[lvl]
                 _, h, w, _ = skip.shape
@@ -179,6 +185,12 @@ class MambaDecoder(nn.Module):
                     dtype=self.dtype,
                     name=f"layers_up_{i}",
                 )(x, deterministic=deterministic)
+                if self.deep_supervision and i != n - 1:
+                    ds_feats.append(
+                        nn.LayerNorm(
+                            epsilon=self.ln_eps, name=f"norm_ds_{i}"
+                        )(y)
+                    )
 
         x = nn.LayerNorm(epsilon=self.ln_eps, name="norm_up")(y)
         x = FinalUpsampleX4(
@@ -188,4 +200,16 @@ class MambaDecoder(nn.Module):
         logits = _dense(
             self.num_classes, self.embed_dim, "output", self.dtype
         )(x)
-        return logits
+        if not self.deep_supervision:
+            return logits
+
+        # aux heads: bilinear x16/x8/x4 then biasless 1x1 conv
+        # (MambaDecoder.py:210-212, 266-270)
+        aux = []
+        for idx, (feat, scale) in enumerate(zip(ds_feats, (16, 8, 4))):
+            b, h, w, c = feat.shape
+            up = resize_bilinear(feat, h * scale, w * scale)
+            aux.append(
+                _dense(self.num_classes, c, f"output_ds_{idx}", self.dtype)(up)
+            )
+        return logits, aux

@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -42,6 +43,7 @@ from sigma_tpu.ops import (
     cross_scan_multimodal,
     selective_scan_cl,
 )
+from sigma_tpu.ops.pallas_scan_g import selective_scan_g
 
 Dtype = Any
 
@@ -102,11 +104,23 @@ class _SSMDirParams(nn.Module):
 
     def scan(self, xs, dts, bs, cs, chunk):
         """Channel-last scan over all K directions in one kernel call.
-        xs/dts: (B, K, L, D); bs/cs: (B, K, L, N) -> y (B, K, L, D)."""
+        xs/dts: (B, K, L, D); bs/cs: (B, K, L, N) -> y (B, K, L, D).
+
+        On TPU this runs the fused-group Pallas kernel: the K directions
+        (and, VMEM permitting, the batch) become independent ILP chains
+        inside one grid step. Elsewhere: the XLA associative-scan path.
+        """
         b, k, l, d = xs.shape
         n = self.d_state
         A = -jnp.exp(self.A_logs.astype(jnp.float32))
         A_cl = jnp.swapaxes(A.reshape(k, d, n), 1, 2)  # (K, N, D)
+        if jax.default_backend() == "tpu":
+            return selective_scan_g(
+                xs, dts, A_cl, bs, cs,
+                D=self.Ds.reshape(k, d),
+                delta_bias=self.dt_projs_bias,
+                delta_softplus=True,
+            )
         y = selective_scan_cl(
             xs.reshape(b * k, l, d),
             dts.reshape(b * k, l, d),
@@ -117,6 +131,7 @@ class _SSMDirParams(nn.Module):
             delta_bias=self.dt_projs_bias,
             delta_softplus=True,
             chunk=chunk,
+            backend="xla",
         )
         return y.reshape(b, k, l, d)
 
@@ -375,22 +390,31 @@ class CrossMambaFusionSS2D(nn.Module):
         dt1, b1, c1 = project(xr_seq, xp1, dtw1)
         dt2, b2, c2 = project(xe_seq, xp2, dtw2)
 
-        # both modality scans in ONE kernel call: rows (batch, modality)
-        u = jnp.stack([xr_seq, xe_seq], axis=1).reshape(2 * b, l, d_inner)
-        delta = jnp.stack([dt1, dt2], axis=1).reshape(2 * b, l, d_inner)
+        # both modality scans in ONE kernel call: groups = modalities
+        u = jnp.stack([xr_seq, xe_seq], axis=1)        # (B, 2, L, D)
+        delta = jnp.stack([dt1, dt2], axis=1)
         A_cl = -jnp.exp(
             jnp.stack([alog1.T, alog2.T]).astype(jnp.float32)
         )  # (2, N, D)
-        bs = jnp.stack([b1, b2], axis=1).reshape(2 * b, l, n)
+        bs = jnp.stack([b1, b2], axis=1)               # (B, 2, L, N)
         # swapped C: the cross attention (vmamba.py:1528-1539)
-        cs = jnp.stack([c2, c1], axis=1).reshape(2 * b, l, n)
+        cs = jnp.stack([c2, c1], axis=1)
         dd = jnp.stack([d1, d2])  # (2, D)
         bias = jnp.stack([dtb1, dtb2])
 
-        y = selective_scan_cl(
-            u, delta, A_cl, bs, cs, D=dd, delta_bias=bias,
-            delta_softplus=True, chunk=self.scan_chunk,
-        ).reshape(b, 2, l, d_inner)
+        if jax.default_backend() == "tpu":
+            y = selective_scan_g(
+                u, delta, A_cl, bs, cs, D=dd, delta_bias=bias,
+                delta_softplus=True,
+            )
+        else:
+            y = selective_scan_cl(
+                u.reshape(2 * b, l, d_inner),
+                delta.reshape(2 * b, l, d_inner), A_cl,
+                bs.reshape(2 * b, l, n), cs.reshape(2 * b, l, n),
+                D=dd, delta_bias=bias, delta_softplus=True,
+                chunk=self.scan_chunk, backend="xla",
+            ).reshape(b, 2, l, d_inner)
         y_rgb = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_1")(y[:, 0])
         y_e = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_2")(y[:, 1])
 

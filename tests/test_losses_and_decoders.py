@@ -169,3 +169,27 @@ def test_flops_forms():
     a = [attention_fusion_flops(hw, 96) for hw in (1000, 2000)]
     assert 3.5 < a[1] / a[0] < 4.5
     assert param_count({"a": np.zeros((2, 3)), "b": np.zeros(5)}) == 11
+
+
+def test_mamba_decoder_deep_supervision():
+    """DS heads: 3 aux full-res logits + unit-weight loss wiring
+    (reference MambaDecoder.py:210-212, builder.py:158-165)."""
+    import jax
+    from sigma_tpu.models.builder import EncoderDecoder, segmentation_loss
+
+    model = EncoderDecoder(
+        num_classes=5, backbone="sigma_test", deep_supervision=True
+    )
+    rgb = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mx = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), rgb, mx, return_aux=True)
+    logits, aux = model.apply(variables, rgb, mx, return_aux=True)
+    assert logits.shape == (1, 64, 64, 5)
+    assert isinstance(aux, list) and len(aux) == 3
+    for a in aux:
+        assert a.shape == (1, 64, 64, 5)
+    labels = jnp.zeros((1, 64, 64), jnp.int32)
+    total = segmentation_loss(logits, labels) + sum(
+        segmentation_loss(a, labels) for a in aux
+    )
+    assert np.isfinite(float(total))
