@@ -309,3 +309,79 @@ class VSSMBackbone(nn.Module):
                     name=f"layers_{i}_downsample",
                 )(x)
         return outs
+
+
+class VSSMClassifier(nn.Module):
+    """Full VSSM image classifier (reference `VSSM`, vmamba.py:1931-2147).
+
+    Sigma itself only uses the segmentation trunk (`VSSMBackbone`), but the
+    reference tree ships the complete classifier backbone whose ImageNet
+    checkpoints seed the trunk; this is the parity-complete variant:
+    patch embed -> 4 VSSBlock stages with v1 PatchMerging2D downsamples ->
+    LayerNorm -> global average pool -> linear head (vmamba.py:2006-2012).
+    """
+
+    num_classes: int = 1000
+    depths: Sequence[int] = (2, 2, 9, 2)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    mlp_ratio: float = 0.0
+    drop_path_rate: float = 0.2
+    patch_size: int = 4
+    ln_eps: float = LN_EPS
+    scan_chunk: int = 128
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dims = list(self.dims)
+        depths = list(self.depths)
+        dpr = np.linspace(0.0, self.drop_path_rate, sum(depths))
+        block_cls = (
+            nn.remat(VSSBlock, static_argnums=(2,)) if self.remat else VSSBlock
+        )
+
+        x = PatchEmbed(
+            embed_dim=dims[0],
+            patch_size=self.patch_size,
+            ln_eps=self.ln_eps,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+
+        blk_idx = 0
+        for i, depth in enumerate(depths):
+            for d in range(depth):
+                x = block_cls(
+                    hidden_dim=dims[i],
+                    drop_path=float(dpr[blk_idx]),
+                    d_state=self.d_state,
+                    ssm_ratio=self.ssm_ratio,
+                    dt_rank=self.dt_rank,
+                    mlp_ratio=self.mlp_ratio,
+                    ln_eps=self.ln_eps,
+                    scan_chunk=self.scan_chunk,
+                    dtype=self.dtype,
+                    name=f"layers_{i}_blocks_{d}",
+                )(x, deterministic)
+                blk_idx += 1
+            if i < len(depths) - 1:
+                x = PatchMerging2D(
+                    out_dim=dims[i + 1],
+                    ln_eps=self.ln_eps,
+                    dtype=self.dtype,
+                    name=f"layers_{i}_downsample",
+                )(x)
+
+        x = nn.LayerNorm(epsilon=self.ln_eps, name="classifier_norm")(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool (B, C)
+        return nn.Dense(
+            self.num_classes,
+            kernel_init=trunc_normal_init(0.02),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="classifier_head",
+        )(x)

@@ -2,26 +2,30 @@
 
 Generalizes `pallas_scan_seq.py` by carrying G independent recurrence chains
 per grid step as a leading dim: every (1, G, T, dg) block update runs G
-data-independent h-chains back-to-back, so the VPU's multiple ALUs pipeline
-them instead of stalling on one chain's FMA latency. This replaces the
-reference CUDA kernel's grid-level parallelism over (batch, dim-row)
+data-independent h-chains back-to-back, so the VPU pipelines them instead of
+stalling on one chain's FMA latency. This replaces the reference CUDA
+kernel's grid-level parallelism over (batch, dim-row)
 (`selective_scan_fwd_kernel.cuh:226-238`) — a TPU core runs Pallas grid
 steps *sequentially*, so parallel work must live inside one grid step.
 
+Like the reference kernel (and unlike v1 of this file), the delta bias,
+softplus, and the D-skip are fused INTO the kernel: the XLA-side softplus /
+pad / slice / D-skip passes were measured at +5.8 ms on a 4.0 ms stage-1
+kernel call (experiments/scan_g_ab.py). Block length T is chosen to divide
+L whenever possible so no padding pass is emitted at all.
+
 Semantics per chain g (identical to `selective_scan_ref`,
 `selective_scan_interface.py:86-131`):
-    h_t = exp(delta_t * A_g) * h_{t-1} + (delta_t * u_t) * B_t
-    y_t = <C_t, h_t>           (+ D*u outside)
+    d_eff = softplus(delta + bias)          [flags static]
+    h_t = exp(d_eff_t * A_g) * h_{t-1} + (d_eff_t * u_t) * B_t
+    y_t = <C_t, h_t> + D_g * u_t
 
-Layouts (all channel-last, fp32):
+Layouts (channel-last, fp32 compute):
     u, delta : (B, G, L, dg)
     A        : (G, N, dg)   negative, already -exp(A_log)
-    Bm, Cm   : (B, G, L, N) time-in-sublanes (16-aligned dynamic slices,
-                            the layout Mosaic handles well)
+    Bm, Cm   : (B, G, L, N)
+    bias, Dk : (G, dg)
     y        : (B, G, L, dg)
-
-The wrapper `selective_scan_g` applies delta bias/softplus and the D skip
-outside the kernel and optionally folds the batch into G for more ILP.
 """
 
 from __future__ import annotations
@@ -35,9 +39,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 _UNROLL = 16
 
+# The Mosaic default scoped-VMEM limit is 16MB but physical VMEM on v5e is
+# far larger; raise the cap so the bwd state stash and double-buffered
+# blocks fit with useful T.
+_VMEM_LIMIT = 56 * 1024 * 1024
 
-def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, y_ref, hck_ref, h_scr,
-                *, T, unroll):
+
+def _unroll_for(g: int, dg: int, n_state: int) -> int:
+    # the bwd state stash is (U, G, N, dg): halve U when the state is wide
+    # so the fixed VMEM cost doesn't crush the block size
+    state = 4 * g * n_state * dg
+    return _UNROLL if state <= 192 * 1024 else 8
+
+
+def _hoist_for(g: int, dg: int, n_state: int, unroll: int) -> bool:
+    # hoisting exp(d*A) materializes a (U, G, N, dg) value; only worth it
+    # while that fits comfortably next to the blocks
+    return unroll * 4 * g * n_state * dg <= 2 * 1024 * 1024
+
+
+def _d_eff_blk(d_blk, bias_ref, softplus, has_bias):
+    if has_bias:
+        d_blk = d_blk + bias_ref[...][:, None, :]
+    if softplus:
+        d_blk = jax.nn.softplus(d_blk)
+    return d_blk
+
+
+def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
+                y_ref, hck_ref, h_scr,
+                *, T, unroll, hoist, softplus, has_bias, has_d):
     il = pl.program_id(1)
 
     @pl.when(il == 0)
@@ -49,37 +80,53 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, y_ref, hck_ref, h_scr,
 
     def body(i, h):  # h: (G, N, dg)
         t0 = i * unroll
-        d_blk = d_ref[0, :, pl.ds(t0, unroll), :]  # (G, U, dg)
+        d_blk = _d_eff_blk(
+            d_ref[0, :, pl.ds(t0, unroll), :], bias_ref, softplus, has_bias
+        )                                            # (G, U, dg)
         u_blk = u_ref[0, :, pl.ds(t0, unroll), :]
-        b_blk = b_ref[0, :, pl.ds(t0, unroll), :]  # (G, U, N)
+        b_blk = b_ref[0, :, pl.ds(t0, unroll), :]    # (G, U, N)
         c_blk = c_ref[0, :, pl.ds(t0, unroll), :]
         du_blk = d_blk * u_blk
+        # one transpose per block -> static width-1 lane slices per step
+        b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
+        c_t = jnp.swapaxes(c_blk, 1, 2)
+        if hoist:
+            # hoist the exp off the sequential chain (vectorized over U)
+            a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
         ys = []
         for k in range(unroll):
-            dt = d_blk[:, k, :][:, None, :]     # (G, 1, dg)
             du = du_blk[:, k, :][:, None, :]
-            bt = b_blk[:, k, :][:, :, None]     # (G, N, 1)
-            ct = c_blk[:, k, :][:, :, None]
-            a_t = jnp.exp(dt * A)               # (G, N, dg)
+            bt = b_t[:, :, k : k + 1]                # (G, N, 1)
+            ct = c_t[:, :, k : k + 1]
+            if hoist:
+                a_t = a_blk[:, k]
+            else:
+                a_t = jnp.exp(d_blk[:, k, :][:, None, :] * A)
             h = a_t * h + du * bt
-            ys.append(jnp.sum(ct * h, axis=1))  # (G, dg)
-        y_ref[0, :, pl.ds(t0, unroll), :] = jnp.stack(ys, axis=1)
+            ys.append(jnp.sum(ct * h, axis=1))       # (G, dg)
+        y_blk = jnp.stack(ys, axis=1)                # (G, U, dg)
+        if has_d:
+            y_blk = y_blk + dk_ref[...][:, None, :] * u_blk
+        y_ref[0, :, pl.ds(t0, unroll), :] = y_blk
         return h
 
     h = jax.lax.fori_loop(0, T // unroll, body, h_scr[...])
     h_scr[...] = h
 
 
-def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
-                du_ref, dd_ref, dA_ref, dB_ref, dC_ref,
-                dh_scr, dA_scr, hstash_scr, hloc_scr,
-                *, T, unroll):
+def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
+                hck_ref, dy_ref,
+                du_ref, dd_ref, dA_ref, dB_ref, dC_ref, dbias_ref, dD_ref,
+                dh_scr, dA_scr, dbias_scr, dD_scr, hstash_scr, hloc_scr,
+                *, T, unroll, hoist, softplus, has_bias, has_d):
     j = pl.program_id(1)  # reversed block sweep (via index maps)
 
     @pl.when(j == 0)
     def _():
         dh_scr[...] = jnp.zeros_like(dh_scr)
         dA_scr[...] = jnp.zeros_like(dA_scr)
+        dbias_scr[...] = jnp.zeros_like(dbias_scr)
+        dD_scr[...] = jnp.zeros_like(dD_scr)
 
     A = a_ref[...]          # (G, N, dg)
     h0 = hck_ref[0, 0]      # (G, N, dg) carry INTO this block
@@ -88,15 +135,21 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
     def fwd_body(i, h):
         hstash_scr[i] = h
         t0 = i * unroll
-        d_blk = d_ref[0, :, pl.ds(t0, unroll), :]
+        d_blk = _d_eff_blk(
+            d_ref[0, :, pl.ds(t0, unroll), :], bias_ref, softplus, has_bias
+        )
         u_blk = u_ref[0, :, pl.ds(t0, unroll), :]
         b_blk = b_ref[0, :, pl.ds(t0, unroll), :]
         du_blk = d_blk * u_blk
+        b_t = jnp.swapaxes(b_blk, 1, 2)
+        if hoist:
+            a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
         for k in range(unroll):
-            dt = d_blk[:, k, :][:, None, :]
             du = du_blk[:, k, :][:, None, :]
-            bt = b_blk[:, k, :][:, :, None]
-            h = jnp.exp(dt * A) * h + du * bt
+            a_t = a_blk[:, k] if hoist else jnp.exp(
+                d_blk[:, k, :][:, None, :] * A
+            )
+            h = a_t * h + du * b_t[:, :, k : k + 1]
         return h
 
     jax.lax.fori_loop(0, T // unroll, fwd_body, h0)
@@ -104,39 +157,63 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
     def bwd_body(i, dh):  # dh: (G, N, dg)
         ci = T // unroll - 1 - i
         t0 = ci * unroll
-        d_blk = d_ref[0, :, pl.ds(t0, unroll), :]
+        d_raw = d_ref[0, :, pl.ds(t0, unroll), :]
+        d_blk = _d_eff_blk(d_raw, bias_ref, softplus, has_bias)
         u_blk = u_ref[0, :, pl.ds(t0, unroll), :]
         b_blk = b_ref[0, :, pl.ds(t0, unroll), :]
         c_blk = c_ref[0, :, pl.ds(t0, unroll), :]
         dy_blk = dy_ref[0, :, pl.ds(t0, unroll), :]
+        du_blk = d_blk * u_blk
+        b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
+        c_t = jnp.swapaxes(c_blk, 1, 2)
+        if hoist:
+            a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
         h = hstash_scr[ci]
         for k in range(unroll):
             hloc_scr[k] = h
-            dt = d_blk[:, k, :][:, None, :]
-            ut = u_blk[:, k, :][:, None, :]
-            bt = b_blk[:, k, :][:, :, None]
-            h = jnp.exp(dt * A) * h + (dt * ut) * bt
+            du = du_blk[:, k, :][:, None, :]
+            a_t = a_blk[:, k] if hoist else jnp.exp(
+                d_blk[:, k, :][:, None, :] * A
+            )
+            h = a_t * h + du * b_t[:, :, k : k + 1]
         dA_acc = jnp.zeros_like(dA_scr[...])
         dus, dds, dbs, dcs = [], [], [], []
         for k in reversed(range(unroll)):
             dt = d_blk[:, k, :][:, None, :]
             ut = u_blk[:, k, :][:, None, :]
-            bt = b_blk[:, k, :][:, :, None]
-            ct = c_blk[:, k, :][:, :, None]
+            du = du_blk[:, k, :][:, None, :]
+            bt = b_t[:, :, k : k + 1]
+            ct = c_t[:, :, k : k + 1]
             dyt = dy_blk[:, k, :][:, None, :]
             h_prev = hloc_scr[k]                 # (G, N, dg)
-            a_t = jnp.exp(dt * A)
-            h_t = a_t * h_prev + (dt * ut) * bt
+            a_t = a_blk[:, k] if hoist else jnp.exp(dt * A)
+            h_t = a_t * h_prev + du * bt
             dh = dh + ct * dyt
             dus.append(jnp.sum(dh * dt * bt, axis=1))           # (G, dg)
             dds.append(jnp.sum(dh * (A * a_t * h_prev + bt * ut), axis=1))
             dA_acc = dA_acc + dh * a_t * h_prev * dt
-            dbs.append(jnp.sum(dh * (dt * ut), axis=2))          # (G, N)
+            dbs.append(jnp.sum(dh * du, axis=2))                 # (G, N)
             dcs.append(jnp.sum(h_t * dyt, axis=2))
             dh = dh * a_t
         dus.reverse(); dds.reverse(); dbs.reverse(); dcs.reverse()
-        du_ref[0, :, pl.ds(t0, unroll), :] = jnp.stack(dus, axis=1)
-        dd_ref[0, :, pl.ds(t0, unroll), :] = jnp.stack(dds, axis=1)
+        du_blk_g = jnp.stack(dus, axis=1)            # (G, U, dg)
+        dd_eff = jnp.stack(dds, axis=1)
+        if has_d:
+            dk = dk_ref[...][:, None, :]
+            du_blk_g = du_blk_g + dy_blk * dk
+            dD_scr[...] = dD_scr[...] + jnp.sum(dy_blk * u_blk, axis=1)
+        if softplus:
+            # adjoint of softplus(d_raw + bias): sigmoid jacobian
+            # (reference bwd kernel re-loads it the same way,
+            # selective_scan_bwd_kernel.cuh:234-247)
+            pre = d_raw + bias_ref[...][:, None, :] if has_bias else d_raw
+            dd_raw = dd_eff * jax.nn.sigmoid(pre)
+        else:
+            dd_raw = dd_eff
+        if has_bias:
+            dbias_scr[...] = dbias_scr[...] + jnp.sum(dd_raw, axis=1)
+        du_ref[0, :, pl.ds(t0, unroll), :] = du_blk_g
+        dd_ref[0, :, pl.ds(t0, unroll), :] = dd_raw
         dB_ref[0, :, pl.ds(t0, unroll), :] = jnp.stack(dbs, axis=1)
         dC_ref[0, :, pl.ds(t0, unroll), :] = jnp.stack(dcs, axis=1)
         dA_scr[...] = dA_scr[...] + dA_acc
@@ -145,44 +222,47 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, hck_ref, dy_ref,
     dh = jax.lax.fori_loop(0, T // unroll, bwd_body, dh_scr[...])
     dh_scr[...] = dh
     dA_ref[0] = dA_scr[...]
+    dbias_ref[0] = dbias_scr[...]
+    dD_ref[0] = dD_scr[...]
 
 
-# The Mosaic default scoped-VMEM limit is 16MB but the physical VMEM on
-# v5e is far larger; raise the cap so the bwd kernel's state stash and
-# double-buffered blocks fit with useful T.
-_VMEM_LIMIT = 56 * 1024 * 1024
-
-
-def _block_t(g: int, dg: int, n_state: int, want: int, bwd_heavy: bool) -> int:
-    """Largest T fitting the VMEM budget.
-
-    The bwd pass is the binding constraint: 5 (G,T,dg) + 4 (G,T,N) blocks,
-    all double-buffered across grid steps, plus the (T/U, G, N, dg) state
-    stash, plus fixed scratch (dh/dA carries, the (U,G,N,dg) per-step state
-    buffer) and slack for Mosaic stack temporaries in the unrolled
-    adjoint loop.
-    """
+def _block_t(g: int, dg: int, n_state: int, want: int, L: int) -> int:
+    """Pick T: sized for the bwd VMEM budget, preferring divisors of L so
+    no L-padding pass is needed."""
     state = 4 * g * n_state * dg
-    if bwd_heavy:
-        fixed = 2 * state + _UNROLL * state + 6 * 1024 * 1024
-        per_t = 2 * 4 * g * (5 * dg + 4 * n_state) + state // _UNROLL
-    else:
-        fixed = state + 4 * 1024 * 1024
-        per_t = 2 * 4 * g * (3 * dg + 2 * n_state)
+    u = _unroll_for(g, dg, n_state)
+    hoist = _hoist_for(g, dg, n_state, u)
+    a_fix = u * state if hoist else 0
+    # dh/dA/dbias/dD carries + hloc stash + hoisted a_blk + slack
+    fixed = 2 * state + u * state + a_fix + 6 * 1024 * 1024
+    per_t = 2 * 4 * g * (5 * dg + 4 * n_state) + state // u
     # only ~half the limit goes to kernel blocks/scratch: XLA additionally
     # stages custom-call operands/results in VMEM under the raised cap
     budget = _VMEM_LIMIT // 2 - fixed
-    t = max(_UNROLL, min(want, budget // max(per_t, 1)))
-    t -= t % _UNROLL
-    return max(t, _UNROLL)
+    tmax = max(u, min(want, budget // max(per_t, 1)))
+    tmax -= tmax % u
+    tmax = max(tmax, u)
+    for t in range(tmax, u - 1, -u):
+        if L % t == 0:
+            return t
+    return tmax
 
 
-def _fwd_call(u, d, a3, b, c, T, interpret):
+def _pallas_params(interpret):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret):
     batch, G, L, dg = u.shape
     N = a3.shape[1]
     nl = L // T
     grid = (batch, nl)
-    kernel = functools.partial(_fwd_kernel, T=T, unroll=_UNROLL)
+    un = _unroll_for(G, dg, N)
+    kernel = functools.partial(
+        _fwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un), **flags
+    )
     y, hck = pl.pallas_call(
         kernel,
         grid=grid,
@@ -196,6 +276,10 @@ def _fwd_call(u, d, a3, b, c, T, interpret):
             pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -214,27 +298,31 @@ def _fwd_call(u, d, a3, b, c, T, interpret):
             bytes_accessed=4 * batch * G * L * (3 * dg + 2 * N),
             transcendentals=batch * G * L * dg * N,
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ) if not interpret else None,
+        compiler_params=_pallas_params(interpret),
         interpret=interpret,
-    )(u, d, a3, b, c)
+    )(u, d, a3, b, c, bias, dk)
     return y, hck
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _scan_core_g(u, d, a3, b, c, T, interpret):
-    y, _ = _fwd_call(u, d, a3, b, c, T, interpret)
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
+)
+def _scan_core_g(u, d, a3, b, c, bias, dk,
+                 T, softplus, has_bias, has_d, interpret):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
+    y, _ = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret)
     return y
 
 
-def _scan_core_g_fwd(u, d, a3, b, c, T, interpret):
-    y, hck = _fwd_call(u, d, a3, b, c, T, interpret)
-    return y, (u, d, a3, b, c, hck)
+def _scan_core_g_fwd(u, d, a3, b, c, bias, dk,
+                     T, softplus, has_bias, has_d, interpret):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
+    y, hck = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret)
+    return y, (u, d, a3, b, c, bias, dk, hck)
 
 
-def _scan_core_g_bwd(T, interpret, res, dy):
-    u, d, a3, b, c, hck = res
+def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, res, dy):
+    u, d, a3, b, c, bias, dk, hck = res
     batch, G, L, dg = u.shape
     N = a3.shape[1]
     nl = L // T
@@ -242,38 +330,37 @@ def _scan_core_g_bwd(T, interpret, res, dy):
     def rev(j):
         return nl - 1 - j
 
-    kernel = functools.partial(_bwd_kernel, T=T, unroll=_UNROLL)
-    du, dd, dA_b, dBt, dCt = pl.pallas_call(
+    un = _unroll_for(G, dg, N)
+    kernel = functools.partial(
+        _bwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un),
+        softplus=softplus, has_bias=has_bias, has_d=has_d,
+    )
+    big = pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, rev(j), 0),
+                       memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, rev(j), 0),
+                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((1, G, dg), lambda b_, j: (b_, 0, 0),
+                       memory_space=pltpu.VMEM)
+    du, dd, dA_b, dBt, dCt, dbias_b, dD_b = pl.pallas_call(
         kernel,
         grid=(batch, nl),
         in_specs=[
-            pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
+            big, big,
             pl.BlockSpec((G, N, dg), lambda b_, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
+            small, small, vec, vec,
             pl.BlockSpec((1, 1, G, N, dg),
                          lambda b_, j: (b_, rev(j), 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
+            big,
         ],
         out_specs=(
-            pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
+            big, big,
             pl.BlockSpec((1, G, N, dg), lambda b_, j: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM),
+            small, small, acc, acc,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, G, L, dg), jnp.float32),
@@ -281,21 +368,23 @@ def _scan_core_g_bwd(T, interpret, res, dy):
             jax.ShapeDtypeStruct((batch, G, N, dg), jnp.float32),
             jax.ShapeDtypeStruct((batch, G, L, N), jnp.float32),
             jax.ShapeDtypeStruct((batch, G, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
+            jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((G, N, dg), jnp.float32),   # dh carry
             pltpu.VMEM((G, N, dg), jnp.float32),   # dA accumulator
-            pltpu.VMEM((T // _UNROLL, G, N, dg), jnp.float32),
-            pltpu.VMEM((_UNROLL, G, N, dg), jnp.float32),
+            pltpu.VMEM((G, dg), jnp.float32),      # dbias accumulator
+            pltpu.VMEM((G, dg), jnp.float32),      # dD accumulator
+            pltpu.VMEM((T // un, G, N, dg), jnp.float32),
+            pltpu.VMEM((un, G, N, dg), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ) if not interpret else None,
+        compiler_params=_pallas_params(interpret),
         interpret=interpret,
-    )(u, d, a3, b, c, hck, dy)
+    )(u, d, a3, b, c, bias, dk, hck, dy)
 
     dA = dA_b.sum(axis=0)                           # (G, N, dg)
-    return du, dd, dA, dBt, dCt
+    return du, dd, dA, dBt, dCt, dbias_b.sum(axis=0), dD_b.sum(axis=0)
 
 
 _scan_core_g.defvjp(_scan_core_g_fwd, _scan_core_g_bwd)
@@ -310,9 +399,10 @@ def selective_scan_g(
     Args:
       u, delta: (B, G, L, dg).
       A: (G, N, dg) negative state matrix.
-      B, C: (B, G, L, N) time-major (transposed internally).
+      B, C: (B, G, L, N).
       D: (G, dg) optional skip; delta_bias: (G, dg) optional.
-    Returns y (B, G, L, dg); fp32 compute, dtype-preserving.
+    Returns y (B, G, L, dg); fp32 compute, dtype-preserving. Bias, softplus
+    and the D-skip run inside the kernel.
     """
     dtype_in = u.dtype
     batch, G, L, dg = u.shape
@@ -321,16 +411,41 @@ def selective_scan_g(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    uf = u.astype(jnp.float32)
-    d_eff = delta.astype(jnp.float32)
-    if delta_bias is not None:
-        d_eff = d_eff + delta_bias.astype(jnp.float32).reshape(1, G, 1, dg)
-    if delta_softplus:
-        d_eff = jax.nn.softplus(d_eff)
+    # Very wide states (sigma_base stage 4: dg=2048) make the grouped
+    # kernel's (U, G, N, dg) stashes exceed VMEM at any useful T; the
+    # per-row sequential kernel handles those shapes better (state per
+    # row is only (N, dg)).
+    if 4 * G * N * dg > 1536 * 1024:
+        from sigma_tpu.ops.pallas_scan_seq import selective_scan_seq_cl
 
+        y = selective_scan_seq_cl(
+            u.reshape(batch * G, L, dg),
+            delta.reshape(batch * G, L, dg),
+            A,
+            B.reshape(batch * G, L, N),
+            C.reshape(batch * G, L, N),
+            D=D.reshape(G, dg) if D is not None else None,
+            delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+            interpret=interpret,
+        )
+        return y.reshape(batch, G, L, dg)
+
+    uf = u.astype(jnp.float32)
+    d_f = delta.astype(jnp.float32)
     a_f = A.astype(jnp.float32)
     b_f = B.astype(jnp.float32)
     c_f = C.astype(jnp.float32)
+    has_bias = delta_bias is not None
+    has_d = D is not None
+    bias_f = (
+        delta_bias.astype(jnp.float32).reshape(G, dg)
+        if has_bias else jnp.zeros((G, dg), jnp.float32)
+    )
+    dk_f = (
+        D.astype(jnp.float32).reshape(G, dg)
+        if has_d else jnp.zeros((G, dg), jnp.float32)
+    )
 
     # pad the state dim to the fp32 sublane tile (A=0/B=0 rows are inert)
     npad = (-N) % 8
@@ -340,32 +455,41 @@ def selective_scan_g(
         c_f = jnp.pad(c_f, ((0, 0), (0, 0), (0, 0), (0, npad)))
         N = N + npad
 
-    eff_g = G
-    if fold_batch and batch > 1 and batch * G * N * dg * 4 <= 2 * 1024 * 1024:
-        uf = uf.reshape(1, batch * G, L, dg)
-        d_eff = d_eff.reshape(1, batch * G, L, dg)
-        b_f = b_f.reshape(1, batch * G, L, N)
-        c_f = c_f.reshape(1, batch * G, L, N)
-        a_f = jnp.tile(a_f, (batch, 1, 1))
-        eff_g = batch * G
+    # Fold (part of) the batch into G for more ILP chains per grid step.
+    # eff_g ~ 8 measured fastest at Sigma shapes (experiments/scan_g_tune):
+    # beyond that, smaller T and bigger scratch cost more than the extra
+    # chains buy.
+    eff_g, fold = G, 1
+    if fold_batch and batch > 1 and G < 8:
+        for cand in range(batch, 1, -1):
+            if batch % cand == 0 and G * cand <= 8 \
+                    and cand * G * N * dg * 4 <= 2 * 1024 * 1024:
+                fold = cand
+                break
+    if fold > 1:
+        uf = uf.reshape(batch // fold, fold * G, L, dg)
+        d_f = d_f.reshape(batch // fold, fold * G, L, dg)
+        b_f = b_f.reshape(batch // fold, fold * G, L, N)
+        c_f = c_f.reshape(batch // fold, fold * G, L, N)
+        a_f = jnp.tile(a_f, (fold, 1, 1))
+        bias_f = jnp.tile(bias_f, (fold, 1))
+        dk_f = jnp.tile(dk_f, (fold, 1))
+        eff_g = fold * G
 
-    T = _block_t(eff_g, dg, N, block_t, bwd_heavy=True)
+    T = _block_t(eff_g, dg, N, block_t, L)
     pad = (-L) % T
     if pad:
-        uf_p = jnp.pad(uf, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        d_p = jnp.pad(d_eff, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        b_p = jnp.pad(b_f, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        c_p = jnp.pad(c_f, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    else:
-        uf_p, d_p, b_p, c_p = uf, d_eff, b_f, c_f
+        uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        d_f = jnp.pad(d_f, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        b_f = jnp.pad(b_f, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        c_f = jnp.pad(c_f, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
-    y = _scan_core_g(uf_p, d_p, a_f, b_p, c_p, T, interpret)
+    y = _scan_core_g(
+        uf, d_f, a_f, b_f, c_f, bias_f, dk_f,
+        T, bool(delta_softplus), has_bias, has_d, interpret,
+    )
     if pad:
         y = y[:, :, :L]
-    if eff_g != G:
+    if fold > 1:
         y = y.reshape(batch, G, L, dg)
-    if D is not None:
-        y = y + D.astype(jnp.float32).reshape(1, G, 1, dg) * u.astype(
-            jnp.float32
-        )
     return y.astype(dtype_in)

@@ -87,8 +87,9 @@ def test_grad_parity():
 
 
 def test_matches_seq_rows_exactly():
-    """The grouped kernel must equal the per-row kernel bit-for-bit on CPU
-    interpret (identical op order per chain)."""
+    """The grouped kernel equals the per-row kernel to float noise on CPU
+    interpret (same chain order; the hoisted exp/bu blocks change only
+    FMA association, ~1e-7 relative)."""
     batch, G, L, dg, N = 2, 2, 32, 16, 8
     u, d, A, Bm, Cm, D, bias = _make(batch, G, L, dg, N, seed=3)
     y_g = selective_scan_g(
@@ -102,4 +103,6 @@ def test_matches_seq_rows_exactly():
         Bm.reshape(batch * G, L, N), Cm.reshape(batch * G, L, N),
         D=D, delta_bias=bias, delta_softplus=True, block_t=32,
     ).reshape(batch, G, L, dg)
-    np.testing.assert_array_equal(np.asarray(y_g), np.asarray(y_s))
+    np.testing.assert_allclose(
+        np.asarray(y_g), np.asarray(y_s), rtol=1e-5, atol=1e-5
+    )

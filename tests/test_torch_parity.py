@@ -231,3 +231,53 @@ def test_full_checkpoint_roundtrip(ref, tmp_path):
     flat_b = jax.tree_util.tree_leaves(direct)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vmamba_imagenet_ckpt_ingest(ref, tmp_path):
+    """ImageNet VMamba classifier checkpoints use PRE-remap key names
+    (`patch_embed.proj`, `ln_1`, `self_attention`, `norm`, `head` — the
+    reference renames them at load, vmamba.py:2111-2147). Build a real
+    reference Backbone_VSSM state dict, rename keys back to the published
+    checkpoint convention, and assert our trunk ingest consumes it."""
+    import torch
+
+    tm = ref.vmamba.Backbone_VSSM(
+        depths=(1, 1, 1, 1), dims=(16, 32, 64, 128), d_state=8,
+        ssm_ratio=2.0, out_indices=(0, 1, 2, 3), downsample_version="v1",
+        mlp_ratio=0.0,
+    )
+    sd = tm.state_dict()
+    # inverse of the reference's change_name remaps => published key names
+    renamed = {}
+    for k, v in sd.items():
+        k2 = k.replace("patch_embed.0", "patch_embed.proj")
+        k2 = k2.replace("patch_embed.2", "patch_embed.norm")
+        k2 = k2.replace(".norm.", ".ln_1.") if ".blocks." in k2 else k2
+        k2 = k2.replace(".op.", ".self_attention.")
+        renamed[k2] = v
+    # a real classifier ckpt also carries the head; ingest must drop it
+    renamed["classifier.head.weight"] = torch.zeros(10, 128)
+    renamed["classifier.head.bias"] = torch.zeros(10)
+    path = tmp_path / "vmamba_tiny_synth.pth"
+    torch.save({"model": renamed}, path)
+
+    from sigma_tpu.models.sigma_encoder import SigmaEncoder
+
+    enc = SigmaEncoder(
+        depths=(1, 1, 1, 1), dims=(16, 32, 64, 128), d_state=8,
+        drop_path_rate=0.0,
+    )
+    rgb = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), rgb, rgb)
+    params = {"backbone": variables["params"]}
+    new_params = C.load_vmamba_into_params(params, str(path))
+    # outnorms are in the trunk; every trunk tensor must have been loaded
+    trunk = params["backbone"]["vssm"]
+    new_trunk = new_params["backbone"]["vssm"]
+    _, loaded, missing = C.convert_vmamba_trunk(
+        trunk, C.load_torch_state_dict(str(path))
+    )
+    assert not missing, f"trunk params not covered by ckpt: {missing}"
+    # and the loaded values actually landed (pick one deep leaf)
+    pe = new_trunk["patch_embed"]["proj"]["kernel"]
+    assert np.asarray(pe).shape == (4, 4, 3, 16)

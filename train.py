@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--log-dir", default=None)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of iters "
+                        "20..30 of the first epoch into DIR "
+                        "(view with tensorboard or xprof)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--num-workers", type=int, default=None)
@@ -206,22 +210,41 @@ def main(argv=None):
         t_epoch = time.time()
         losses = []  # device scalars; only synced at log points
         epoch_steps = 0
+        t_win, steps_win = time.time(), 0
         for it, batch in enumerate(loader):
+            if args.profile and epoch == start_epoch:
+                if total_steps == 20:
+                    jax.profiler.start_trace(args.profile)
+                elif total_steps == 30:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s", args.profile)
             batch = shard_batch(mesh, batch)
             state, loss = train_step(state, batch, step_rng)
             losses.append(loss)
             total_steps += 1
             epoch_steps += 1
+            steps_win += 1
             if (it + 1) % 10 == 0 or it == 0:
                 # sync point: one host readback per 10 iters so input
                 # uploads overlap device compute in between
                 lr_now = float(schedule(total_steps))
+                loss_now = float(loss)  # sync
+                dt_win = time.time() - t_win
                 logger.info(
-                    "epoch %d iter %d/%d loss %.4f lr %.3e",
-                    epoch, it + 1, cfg.niters_per_epoch, float(loss), lr_now,
+                    "epoch %d iter %d/%d loss %.4f lr %.3e "
+                    "%.0f ms/step %.1f img/s",
+                    epoch, it + 1, cfg.niters_per_epoch, loss_now, lr_now,
+                    dt_win / steps_win * 1e3,
+                    steps_win * cfg.batch_size / dt_win,
                 )
+                t_win, steps_win = time.time(), 0
             if args.steps and total_steps >= args.steps:
                 break
+        if args.profile and epoch == start_epoch and 20 <= total_steps < 30:
+            # short run: close the trace at epoch end
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", args.profile)
         epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         logger.info(
             "epoch %d done in %.1fs mean-loss %.4f",
