@@ -36,13 +36,7 @@ from sigma_tpu.models.common import (
     torch_linear_kernel_init,
     trunc_normal_init,
 )
-from sigma_tpu.ops import (
-    cross_merge,
-    cross_merge_multimodal,
-    cross_scan,
-    cross_scan_multimodal,
-    selective_scan_cl,
-)
+from sigma_tpu.ops import selective_scan_cl
 from sigma_tpu.ops.pallas_scan_g import selective_scan_g
 
 Dtype = Any
@@ -88,52 +82,83 @@ class _SSMDirParams(nn.Module):
         self.A_logs = self.param("A_logs", a_log_init(K, D, N), (K * D, N))
         self.Ds = self.param("Ds", nn.initializers.ones, (K * D,))
 
-    def project(self, xs):
-        """xs: (B, K, L, D) -> (dts, Bs, Cs) channel-last.
+    def project_scan(self, u_layouts, chunk):
+        """Fused projection + direction-paired scan. The fast path.
 
-        Mirrors the einsum pipeline of `cross_selective_scan`
-        (vmamba.py:195-207); everything stays channel-last so the scan
-        kernel consumes it without transposes.
+        `u_layouts`: (B, J, L, D) — the J distinct PHYSICAL layouts of the
+        input (SS2D: J=2 = [row-major, transposed]; ConMB: J=1 = concat
+        sequence). Direction k = g*J + j pairs group g in (fwd, rev) with
+        layout j, matching the reference direction order
+        (CrossScan, vmamba.py:80-98: [hw, wh, rev-hw, rev-wh]).
+
+        Two TPU-first rewrites of `cross_selective_scan`
+        (vmamba.py:165-226):
+          1. dt_proj is COMPOSED into x_proj — dt = (x·Wx[:, :R])·Wdt =
+             x·(Wx[:, :R]·Wdt), so one (D -> D+2N) MXU matmul replaces the
+             two lane-hostile einsums (R=12, N=16 minor dims).
+          2. Reversed directions run as reversed *kernels* over the same
+             physical buffers (selective_scan_g(reverse=True)) — the K=4
+             flipped sequence copies and the merge un-flips are never
+             materialized.
+
+        Returns (B, J, L, D): per-layout outputs already summed over the
+        direction groups (the un-flip half of CrossMerge, vmamba.py:100-121);
+        the caller completes the merge by un-transposing layouts j>0.
         """
-        n, r = self.d_state, self.dt_rank
-        x_dbl = jnp.einsum("bkld,kdc->bklc", xs, self.x_proj_weight)
-        dts = jnp.einsum(
-            "bklr,krd->bkld", x_dbl[..., :r], self.dt_projs_weight
-        )
-        return dts, x_dbl[..., r : r + n], x_dbl[..., r + n :]
+        b, j, l, d = u_layouts.shape
+        n, r, k = self.d_state, self.dt_rank, self.k
+        assert k % j == 0
+        g = k // j  # direction groups; 2 = (fwd, rev), 1 = fwd only
+        xw = self.x_proj_weight  # (K, D, R+2N)
+        wdt = jnp.einsum("kdr,kre->kde", xw[..., :r], self.dt_projs_weight)
+        # THREE separate projections (dt, B, C): slicing a (D+2N)-channel
+        # matmul output at 192/16/16 boundaries relayouts the whole tensor
+        # on TPU (lane tiles are 128-wide) — measured 60+ ms/fwd of pure
+        # 'slice' HLOs; separate skinny matmuls avoid it entirely
+        cdt = u_layouts.dtype
+        wdt = wdt.reshape(g, j, d, d).astype(cdt)
+        wb = xw[..., r : r + n].reshape(g, j, d, n).astype(cdt)
+        wcc = xw[..., r + n :].reshape(g, j, d, n).astype(cdt)
+        dts_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wdt)
+        bs_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wb)
+        cs_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wcc)
 
-    def scan(self, xs, dts, bs, cs, chunk):
-        """Channel-last scan over all K directions in one kernel call.
-        xs/dts: (B, K, L, D); bs/cs: (B, K, L, N) -> y (B, K, L, D).
+        A = -jnp.exp(self.A_logs.astype(jnp.float32)).reshape(k, d, n)
+        A_cl = jnp.swapaxes(A, 1, 2).reshape(g, j, n, d)
+        Ds = self.Ds.reshape(g, j, d)
+        bias = self.dt_projs_bias.reshape(g, j, d)
 
-        On TPU this runs the fused-group Pallas kernel: the K directions
-        (and, VMEM permitting, the batch) become independent ILP chains
-        inside one grid step. Elsewhere: the XLA associative-scan path.
-        """
-        b, k, l, d = xs.shape
-        n = self.d_state
-        A = -jnp.exp(self.A_logs.astype(jnp.float32))
-        A_cl = jnp.swapaxes(A.reshape(k, d, n), 1, 2)  # (K, N, D)
-        if jax.default_backend() == "tpu":
-            return selective_scan_g(
-                xs, dts, A_cl, bs, cs,
-                D=self.Ds.reshape(k, d),
-                delta_bias=self.dt_projs_bias,
-                delta_softplus=True,
+        y = None
+        for gi in range(g):
+            yg = _scan_dir(
+                u_layouts, dts_a[:, gi], bs_a[:, gi], cs_a[:, gi],
+                A_cl[gi], Ds[gi], bias[gi],
+                reverse=(gi == 1), chunk=chunk,
             )
-        y = selective_scan_cl(
-            xs.reshape(b * k, l, d),
-            dts.reshape(b * k, l, d),
-            A_cl,
-            bs.reshape(b * k, l, n),
-            cs.reshape(b * k, l, n),
-            D=self.Ds.reshape(k, d),
-            delta_bias=self.dt_projs_bias,
-            delta_softplus=True,
-            chunk=chunk,
-            backend="xla",
+            y = yg if y is None else y + yg
+        return y
+
+
+def _scan_dir(u, dts, bs, cs, A_cl, Ds, bias, reverse, chunk):
+    """One direction group's scan: Pallas reversed kernel on TPU, explicit
+    flips + XLA associative scan elsewhere. All args channel-last:
+    u/dts (B, J, L, D), bs/cs (B, J, L, N), A_cl (J, N, D)."""
+    if jax.default_backend() == "tpu":
+        return selective_scan_g(
+            u, dts, A_cl, bs, cs, D=Ds, delta_bias=bias,
+            delta_softplus=True, reverse=reverse,
         )
-        return y.reshape(b, k, l, d)
+    b, j, l, d = u.shape
+    n = bs.shape[-1]
+    if reverse:
+        u, dts, bs, cs = (t[:, :, ::-1] for t in (u, dts, bs, cs))
+    y = selective_scan_cl(
+        u.reshape(b * j, l, d), dts.reshape(b * j, l, d), A_cl,
+        bs.reshape(b * j, l, n), cs.reshape(b * j, l, n),
+        D=Ds, delta_bias=bias, delta_softplus=True, chunk=chunk,
+        backend="xla",
+    ).reshape(b, j, l, d)
+    return y[:, :, ::-1] if reverse else y
 
 
 def _stacked_linear_init(fan_in: int):
@@ -184,13 +209,20 @@ class SS2D(nn.Module):
             xx = nn.silu(xx)
 
         b, h, w, _ = xx.shape
+        l = h * w
         params = _SSMDirParams(
             k=4, d_inner=d_inner, d_state=d_state, dt_rank=dt_rank, name="ssm"
         )
-        xs = cross_scan(xx)  # (B, 4, L, D)
-        dts, bs, cs = params.project(xs)
-        ys = params.scan(xs, dts, bs, cs, self.scan_chunk)  # (B, 4, L, D)
-        y = cross_merge(ys, h, w)  # (B, H, W, D)
+        # two physical layouts (row-major, transposed); reversed directions
+        # run inside the kernel — no 4-way CrossScan copies
+        hw = xx.reshape(b, l, d_inner)
+        wh = jnp.swapaxes(xx, 1, 2).reshape(b, l, d_inner)
+        u2 = jnp.stack([hw, wh], axis=1)  # (B, 2, L, D)
+        y2 = params.project_scan(u2, self.scan_chunk)  # (B, 2, L, D)
+        # complete CrossMerge: un-transpose the wh layout and sum
+        y = y2[:, 0].reshape(b, h, w, d_inner) + jnp.swapaxes(
+            y2[:, 1].reshape(b, w, h, d_inner), 1, 2
+        )
         y = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm")(y)
 
         y = y * nn.silu(z)
@@ -259,13 +291,18 @@ class ConMBSS2D(nn.Module):
         )
 
         b, h, w, _ = xr.shape
+        l = h * w
         params = _SSMDirParams(
             k=2, d_inner=d_inner, d_state=d_state, dt_rank=dt_rank, name="ssm"
         )
-        xs = cross_scan_multimodal(xr, xe)  # (B, 2, 2L, D)
-        dts, bs, cs = params.project(xs)
-        ys = params.scan(xs, dts, bs, cs, self.scan_chunk)  # (B, 2, 2L, D)
-        y_rgb, y_e = cross_merge_multimodal(ys)  # (B, L, D) each
+        # one physical layout (the concat sequence); the reversed direction
+        # runs inside the kernel — CrossScan_multimodal's flipped copy and
+        # CrossMerge_multimodal's un-flip never materialize
+        seq = jnp.concatenate(
+            [xr.reshape(b, l, d_inner), xe.reshape(b, l, d_inner)], axis=1
+        )[:, None]  # (B, 1, 2L, D)
+        ys = params.project_scan(seq, self.scan_chunk)[:, 0]  # (B, 2L, D)
+        y_rgb, y_e = ys[:, :l], ys[:, l:]
         y_rgb = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm1")(
             y_rgb.reshape(b, h, w, d_inner)
         )
@@ -383,9 +420,13 @@ class CrossMambaFusionSS2D(nn.Module):
         xp2, dtw2, dtb2, alog2, d2 = proj_params("2")
 
         def project(seq, xp, dtw):
-            dbl = seq @ xp  # (B, L, R+2N)
-            dt = dbl[..., :dt_rank] @ dtw  # (B, L, D)
-            return dt, dbl[..., dt_rank : dt_rank + n], dbl[..., dt_rank + n:]
+            # dt_proj composed into x_proj (dt = x @ (Wx[:, :R] @ Wdt)) and
+            # three separate skinny matmuls — lane-misaligned slices of one
+            # concat matmul relayout the whole tensor on TPU
+            dt = seq @ (xp[:, :dt_rank] @ dtw)
+            bsm = seq @ xp[:, dt_rank : dt_rank + n]
+            csm = seq @ xp[:, dt_rank + n :]
+            return dt, bsm, csm
 
         dt1, b1, c1 = project(xr_seq, xp1, dtw1)
         dt2, b2, c2 = project(xe_seq, xp2, dtw2)

@@ -53,8 +53,8 @@ def _unroll_for(g: int, dg: int, n_state: int) -> int:
 
 
 def _hoist_for(g: int, dg: int, n_state: int, unroll: int) -> bool:
-    # hoisting exp(d*A) materializes a (U, G, N, dg) value; only worth it
-    # while that fits comfortably next to the blocks
+    # hoisting exp(d*A) and du*B materializes two (U, G, N, dg) values;
+    # only worth it while they fit comfortably next to the blocks
     return unroll * 4 * g * n_state * dg <= 2 * 1024 * 1024
 
 
@@ -67,50 +67,65 @@ def _d_eff_blk(d_blk, bias_ref, softplus, has_bias):
 
 
 def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
-                y_ref, hck_ref, h_scr,
-                *, T, unroll, hoist, softplus, has_bias, has_d):
+                *refs,
+                T, unroll, hoist, softplus, has_bias, has_d,
+                reverse=False, with_hck=True):
+    if with_hck:
+        y_ref, hck_ref, h_scr = refs
+    else:
+        y_ref, h_scr = refs
     il = pl.program_id(1)
 
     @pl.when(il == 0)
     def _():
         h_scr[...] = jnp.zeros_like(h_scr)
 
-    hck_ref[0, 0] = h_scr[...]  # carry INTO this block
+    if with_hck:
+        hck_ref[0, 0] = h_scr[...]  # carry INTO this block
     A = a_ref[...]  # (G, N, dg)
+    nch = T // unroll
+    # reversed scans walk tokens last-to-first WITHIN the physically-laid-out
+    # block (the grid index maps already deliver blocks last-to-first), so
+    # no flipped copy of the sequence is ever materialized
+    ks = list(reversed(range(unroll))) if reverse else list(range(unroll))
 
     def body(i, h):  # h: (G, N, dg)
-        t0 = i * unroll
+        t0 = (nch - 1 - i if reverse else i) * unroll
         d_blk = _d_eff_blk(
-            d_ref[0, :, pl.ds(t0, unroll), :], bias_ref, softplus, has_bias
+            d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32),
+            bias_ref, softplus, has_bias
         )                                            # (G, U, dg)
-        u_blk = u_ref[0, :, pl.ds(t0, unroll), :]
-        b_blk = b_ref[0, :, pl.ds(t0, unroll), :]    # (G, U, N)
-        c_blk = c_ref[0, :, pl.ds(t0, unroll), :]
+        u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        c_blk = c_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         du_blk = d_blk * u_blk
         # one transpose per block -> static width-1 lane slices per step
-        b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
-        c_t = jnp.swapaxes(c_blk, 1, 2)
+        c_t = jnp.swapaxes(c_blk, 1, 2)              # (G, N, U)
         if hoist:
-            # hoist the exp off the sequential chain (vectorized over U)
+            # hoist exp(d*A) AND the du*B outer product off the sequential
+            # chain (both vectorized over U): the per-step dependent work
+            # shrinks to one FMA + the y reduce
             a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
-        ys = []
-        for k in range(unroll):
-            du = du_blk[:, k, :][:, None, :]
-            bt = b_t[:, :, k : k + 1]                # (G, N, 1)
+            dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
+        else:
+            b_t = jnp.swapaxes(b_blk, 1, 2)          # (G, N, U)
+        ys = [None] * unroll
+        for k in ks:
             ct = c_t[:, :, k : k + 1]
             if hoist:
-                a_t = a_blk[:, k]
+                h = a_blk[:, k] * h + dub_blk[:, k]
             else:
+                du = du_blk[:, k, :][:, None, :]
                 a_t = jnp.exp(d_blk[:, k, :][:, None, :] * A)
-            h = a_t * h + du * bt
-            ys.append(jnp.sum(ct * h, axis=1))       # (G, dg)
+                h = a_t * h + du * b_t[:, :, k : k + 1]
+            ys[k] = jnp.sum(ct * h, axis=1)          # (G, dg)
         y_blk = jnp.stack(ys, axis=1)                # (G, U, dg)
         if has_d:
             y_blk = y_blk + dk_ref[...][:, None, :] * u_blk
-        y_ref[0, :, pl.ds(t0, unroll), :] = y_blk
+        y_ref[0, :, pl.ds(t0, unroll), :] = y_blk.astype(y_ref.dtype)
         return h
 
-    h = jax.lax.fori_loop(0, T // unroll, body, h_scr[...])
+    h = jax.lax.fori_loop(0, nch, body, h_scr[...])
     h_scr[...] = h
 
 
@@ -118,8 +133,9 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 hck_ref, dy_ref,
                 du_ref, dd_ref, dA_ref, dB_ref, dC_ref, dbias_ref, dD_ref,
                 dh_scr, dA_scr, dbias_scr, dD_scr, hstash_scr, hloc_scr,
-                *, T, unroll, hoist, softplus, has_bias, has_d):
-    j = pl.program_id(1)  # reversed block sweep (via index maps)
+                *, T, unroll, hoist, softplus, has_bias, has_d,
+                reverse=False):
+    j = pl.program_id(1)  # logical-reversed block sweep (via index maps)
 
     @pl.when(j == 0)
     def _():
@@ -130,46 +146,56 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
 
     A = a_ref[...]          # (G, N, dg)
     h0 = hck_ref[0, 0]      # (G, N, dg) carry INTO this block
+    nch = T // unroll
+    # logical within-chunk token order (physical slots stay the index)
+    ks = list(reversed(range(unroll))) if reverse else list(range(unroll))
+
+    def pchunk(lc):  # logical chunk -> physical chunk
+        return nch - 1 - lc if reverse else lc
 
     # forward recompute storing a state checkpoint every `unroll` steps
+    # (hstash is indexed by LOGICAL chunk)
     def fwd_body(i, h):
         hstash_scr[i] = h
-        t0 = i * unroll
+        t0 = pchunk(i) * unroll
         d_blk = _d_eff_blk(
-            d_ref[0, :, pl.ds(t0, unroll), :], bias_ref, softplus, has_bias
+            d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32),
+            bias_ref, softplus, has_bias
         )
-        u_blk = u_ref[0, :, pl.ds(t0, unroll), :]
-        b_blk = b_ref[0, :, pl.ds(t0, unroll), :]
+        u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         du_blk = d_blk * u_blk
-        b_t = jnp.swapaxes(b_blk, 1, 2)
         if hoist:
             a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
-        for k in range(unroll):
-            du = du_blk[:, k, :][:, None, :]
-            a_t = a_blk[:, k] if hoist else jnp.exp(
-                d_blk[:, k, :][:, None, :] * A
-            )
-            h = a_t * h + du * b_t[:, :, k : k + 1]
+            dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
+            for k in ks:
+                h = a_blk[:, k] * h + dub_blk[:, k]
+        else:
+            b_t = jnp.swapaxes(b_blk, 1, 2)
+            for k in ks:
+                du = du_blk[:, k, :][:, None, :]
+                a_t = jnp.exp(d_blk[:, k, :][:, None, :] * A)
+                h = a_t * h + du * b_t[:, :, k : k + 1]
         return h
 
-    jax.lax.fori_loop(0, T // unroll, fwd_body, h0)
+    jax.lax.fori_loop(0, nch, fwd_body, h0)
 
     def bwd_body(i, dh):  # dh: (G, N, dg)
-        ci = T // unroll - 1 - i
-        t0 = ci * unroll
-        d_raw = d_ref[0, :, pl.ds(t0, unroll), :]
+        lc = nch - 1 - i
+        t0 = pchunk(lc) * unroll
+        d_raw = d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         d_blk = _d_eff_blk(d_raw, bias_ref, softplus, has_bias)
-        u_blk = u_ref[0, :, pl.ds(t0, unroll), :]
-        b_blk = b_ref[0, :, pl.ds(t0, unroll), :]
-        c_blk = c_ref[0, :, pl.ds(t0, unroll), :]
-        dy_blk = dy_ref[0, :, pl.ds(t0, unroll), :]
+        u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        c_blk = c_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        dy_blk = dy_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         du_blk = d_blk * u_blk
         b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
         c_t = jnp.swapaxes(c_blk, 1, 2)
         if hoist:
             a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
-        h = hstash_scr[ci]
-        for k in range(unroll):
+        h = hstash_scr[lc]
+        for k in ks:
             hloc_scr[k] = h
             du = du_blk[:, k, :][:, None, :]
             a_t = a_blk[:, k] if hoist else jnp.exp(
@@ -177,8 +203,11 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             )
             h = a_t * h + du * b_t[:, :, k : k + 1]
         dA_acc = jnp.zeros_like(dA_scr[...])
-        dus, dds, dbs, dcs = [], [], [], []
-        for k in reversed(range(unroll)):
+        dus = [None] * unroll
+        dds = [None] * unroll
+        dbs = [None] * unroll
+        dcs = [None] * unroll
+        for k in reversed(ks):
             dt = d_blk[:, k, :][:, None, :]
             ut = u_blk[:, k, :][:, None, :]
             du = du_blk[:, k, :][:, None, :]
@@ -189,13 +218,12 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             a_t = a_blk[:, k] if hoist else jnp.exp(dt * A)
             h_t = a_t * h_prev + du * bt
             dh = dh + ct * dyt
-            dus.append(jnp.sum(dh * dt * bt, axis=1))           # (G, dg)
-            dds.append(jnp.sum(dh * (A * a_t * h_prev + bt * ut), axis=1))
+            dus[k] = jnp.sum(dh * dt * bt, axis=1)              # (G, dg)
+            dds[k] = jnp.sum(dh * (A * a_t * h_prev + bt * ut), axis=1)
             dA_acc = dA_acc + dh * a_t * h_prev * dt
-            dbs.append(jnp.sum(dh * du, axis=2))                 # (G, N)
-            dcs.append(jnp.sum(h_t * dyt, axis=2))
+            dbs[k] = jnp.sum(dh * du, axis=2)                    # (G, N)
+            dcs[k] = jnp.sum(h_t * dyt, axis=2)
             dh = dh * a_t
-        dus.reverse(); dds.reverse(); dbs.reverse(); dcs.reverse()
         du_blk_g = jnp.stack(dus, axis=1)            # (G, U, dg)
         dd_eff = jnp.stack(dds, axis=1)
         if has_d:
@@ -232,7 +260,7 @@ def _block_t(g: int, dg: int, n_state: int, want: int, L: int) -> int:
     state = 4 * g * n_state * dg
     u = _unroll_for(g, dg, n_state)
     hoist = _hoist_for(g, dg, n_state, u)
-    a_fix = u * state if hoist else 0
+    a_fix = 2 * u * state if hoist else 0  # hoisted exp + du*B blocks
     # dh/dA/dbias/dD carries + hloc stash + hoisted a_blk + slack
     fixed = 2 * state + u * state + a_fix + 6 * 1024 * 1024
     per_t = 2 * 4 * g * (5 * dg + 4 * n_state) + state // u
@@ -254,44 +282,53 @@ def _pallas_params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret):
+def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
+              with_hck=True):
     batch, G, L, dg = u.shape
     N = a3.shape[1]
     nl = L // T
     grid = (batch, nl)
     un = _unroll_for(G, dg, N)
     kernel = functools.partial(
-        _fwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un), **flags
+        _fwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un),
+        reverse=reverse, with_hck=with_hck, **flags
     )
-    y, hck = pl.pallas_call(
+
+    # reversed scans stream physical blocks last-to-first; y still lands at
+    # the physical block, and hck stays indexed by LOGICAL block
+    def blk(b_, j):
+        return (b_, 0, nl - 1 - j, 0) if reverse else (b_, 0, j, 0)
+
+    out_specs = [pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((batch, G, L, dg), u.dtype)]
+    if with_hck:
+        # per-block state checkpoints, consumed by the bwd kernel; the
+        # inference path skips this output entirely (it is pure HBM write
+        # traffic there — 295MB per stage-1 call at batch 8)
+        out_specs.append(
+            pl.BlockSpec((1, 1, G, N, dg), lambda b_, j: (b_, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, nl, G, N, dg), jnp.float32)
+        )
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, N, dg), lambda b_, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, N), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, N), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, N, dg), lambda b_, j: (b_, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, G, L, dg), jnp.float32),
-            jax.ShapeDtypeStruct((batch, nl, G, N, dg), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((G, N, dg), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=9 * batch * G * L * dg * N,
@@ -301,27 +338,29 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret):
         compiler_params=_pallas_params(interpret),
         interpret=interpret,
     )(u, d, a3, b, c, bias, dk)
-    return y, hck
+    return (out[0], out[1]) if with_hck else (out[0], None)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12)
 )
 def _scan_core_g(u, d, a3, b, c, bias, dk,
-                 T, softplus, has_bias, has_d, interpret):
+                 T, softplus, has_bias, has_d, interpret, reverse):
     flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
-    y, _ = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret)
+    y, _ = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse,
+                     with_hck=False)
     return y
 
 
 def _scan_core_g_fwd(u, d, a3, b, c, bias, dk,
-                     T, softplus, has_bias, has_d, interpret):
+                     T, softplus, has_bias, has_d, interpret, reverse):
     flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
-    y, hck = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret)
+    y, hck = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse)
     return y, (u, d, a3, b, c, bias, dk, hck)
 
 
-def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, res, dy):
+def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, reverse,
+                     res, dy):
     u, d, a3, b, c, bias, dk, hck = res
     batch, G, L, dg = u.shape
     N = a3.shape[1]
@@ -333,12 +372,15 @@ def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, res, dy):
     un = _unroll_for(G, dg, N)
     kernel = functools.partial(
         _bwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un),
-        softplus=softplus, has_bias=has_bias, has_d=has_d,
+        softplus=softplus, has_bias=has_bias, has_d=has_d, reverse=reverse,
     )
-    big = pl.BlockSpec((1, G, T, dg), lambda b_, j: (b_, 0, rev(j), 0),
-                       memory_space=pltpu.VMEM)
-    small = pl.BlockSpec((1, G, T, N), lambda b_, j: (b_, 0, rev(j), 0),
-                         memory_space=pltpu.VMEM)
+    # bwd grid step j handles LOGICAL block nl-1-j; its physical block is
+    # j for a reversed scan, nl-1-j for a forward one. hck is logical.
+    def blk3(b_, j):
+        return (b_, 0, j, 0) if reverse else (b_, 0, rev(j), 0)
+
+    big = pl.BlockSpec((1, G, T, dg), blk3, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((1, G, T, N), blk3, memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
                        memory_space=pltpu.VMEM)
     acc = pl.BlockSpec((1, G, dg), lambda b_, j: (b_, 0, 0),
@@ -384,7 +426,10 @@ def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, res, dy):
     )(u, d, a3, b, c, bias, dk, hck, dy)
 
     dA = dA_b.sum(axis=0)                           # (G, N, dg)
-    return du, dd, dA, dBt, dCt, dbias_b.sum(axis=0), dD_b.sum(axis=0)
+    # cotangents must match primal operand dtypes (bf16 streams)
+    return (du.astype(u.dtype), dd.astype(d.dtype), dA,
+            dBt.astype(b.dtype), dCt.astype(c.dtype),
+            dbias_b.sum(axis=0), dD_b.sum(axis=0))
 
 
 _scan_core_g.defvjp(_scan_core_g_fwd, _scan_core_g_bwd)
@@ -393,6 +438,7 @@ _scan_core_g.defvjp(_scan_core_g_fwd, _scan_core_g_bwd)
 def selective_scan_g(
     u, delta, A, B, C, D=None, delta_bias=None, delta_softplus=False,
     block_t: int = 512, fold_batch: bool = True, interpret: bool | None = None,
+    reverse: bool = False,
 ):
     """Grouped channel-last selective scan with G ILP chains per grid step.
 
@@ -401,6 +447,11 @@ def selective_scan_g(
       A: (G, N, dg) negative state matrix.
       B, C: (B, G, L, N).
       D: (G, dg) optional skip; delta_bias: (G, dg) optional.
+      reverse: scan the sequence last-to-first IN PLACE — outputs land at
+        their physical positions, so `selective_scan_g(..., reverse=True)`
+        == `flip(selective_scan_g(flip(u), ..))` with zero flip copies.
+        This implements the reference's flipped scan directions
+        (CrossScan k=2,3, vmamba.py:80-98) without materializing them.
     Returns y (B, G, L, dg); fp32 compute, dtype-preserving. Bias, softplus
     and the D-skip run inside the kernel.
     """
@@ -418,6 +469,8 @@ def selective_scan_g(
     if 4 * G * N * dg > 1536 * 1024:
         from sigma_tpu.ops.pallas_scan_seq import selective_scan_seq_cl
 
+        if reverse:  # rare path: explicit flips are acceptable here
+            u, delta, B, C = (t[:, :, ::-1] for t in (u, delta, B, C))
         y = selective_scan_seq_cl(
             u.reshape(batch * G, L, dg),
             delta.reshape(batch * G, L, dg),
@@ -429,13 +482,19 @@ def selective_scan_g(
             delta_softplus=delta_softplus,
             interpret=interpret,
         )
-        return y.reshape(batch, G, L, dg)
+        y = y.reshape(batch, G, L, dg)
+        return y[:, :, ::-1] if reverse else y
 
-    uf = u.astype(jnp.float32)
-    d_f = delta.astype(jnp.float32)
+    # bf16 streams ride through the kernel (converted to fp32 per-block in
+    # VMEM — halves the HBM traffic and kills the XLA-side convert passes);
+    # weights/state stay fp32, matching the reference kernel's bf16-input
+    # mode (selective_scan.cpp:175-176)
+    io_dtype = jnp.bfloat16 if dtype_in == jnp.bfloat16 else jnp.float32
+    uf = u.astype(io_dtype)
+    d_f = delta.astype(io_dtype)
     a_f = A.astype(jnp.float32)
-    b_f = B.astype(jnp.float32)
-    c_f = C.astype(jnp.float32)
+    b_f = B.astype(io_dtype)
+    c_f = C.astype(io_dtype)
     has_bias = delta_bias is not None
     has_d = D is not None
     bias_f = (
@@ -456,13 +515,13 @@ def selective_scan_g(
         N = N + npad
 
     # Fold (part of) the batch into G for more ILP chains per grid step.
-    # eff_g ~ 8 measured fastest at Sigma shapes (experiments/scan_g_tune):
-    # beyond that, smaller T and bigger scratch cost more than the extra
-    # chains buy.
+    # eff_g ~ 16 measured fastest at Sigma shapes with bf16 streams
+    # (experiments/scan_g_tune3): beyond that, smaller T and bigger scratch
+    # cost more than the extra chains buy.
     eff_g, fold = G, 1
-    if fold_batch and batch > 1 and G < 8:
+    if fold_batch and batch > 1 and G < 16:
         for cand in range(batch, 1, -1):
-            if batch % cand == 0 and G * cand <= 8 \
+            if batch % cand == 0 and G * cand <= 16 \
                     and cand * G * N * dg * 4 <= 2 * 1024 * 1024:
                 fold = cand
                 break
@@ -486,7 +545,7 @@ def selective_scan_g(
 
     y = _scan_core_g(
         uf, d_f, a_f, b_f, c_f, bias_f, dk_f,
-        T, bool(delta_softplus), has_bias, has_d, interpret,
+        T, bool(delta_softplus), has_bias, has_d, interpret, bool(reverse),
     )
     if pad:
         y = y[:, :, :L]

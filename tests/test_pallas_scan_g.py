@@ -106,3 +106,84 @@ def test_matches_seq_rows_exactly():
     np.testing.assert_allclose(
         np.asarray(y_g), np.asarray(y_s), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("pad", [False, True])
+def test_reverse_scan(pad):
+    """reverse=True == flip(scan(flip(inputs))) with no flip copies; also
+    exercises L-padding, where the pad region is scanned FIRST."""
+    batch, G, L, dg, N = 2, 2, 96 if not pad else 88, 24, 4
+    u, d, A, Bm, Cm, D, bias = _make(batch, G, L, dg, N, seed=5)
+    y = selective_scan_g(
+        u, d, A, Bm, Cm, D=D, delta_bias=bias, delta_softplus=True,
+        block_t=32, reverse=True,
+    )
+    y_ref = _ref(
+        u[:, :, ::-1], d[:, :, ::-1], A, Bm[:, :, ::-1], Cm[:, :, ::-1],
+        D, bias,
+    )[:, :, ::-1]
+    np.testing.assert_allclose(y, y_ref, rtol=6e-4, atol=2e-3)
+
+
+def test_reverse_grad_parity():
+    batch, G, L, dg, N = 2, 2, 88, 24, 4
+    args = _make(batch, G, L, dg, N, seed=6)
+
+    def loss_g(args):
+        u, d, A, Bm, Cm, D, bias = args
+        y = selective_scan_g(
+            u, d, A, Bm, Cm, D=D, delta_bias=bias, delta_softplus=True,
+            block_t=32, reverse=True,
+        )
+        return (y ** 2).sum()
+
+    def loss_r(args):
+        u, d, A, Bm, Cm, D, bias = args
+        y = _ref(
+            u[:, :, ::-1], d[:, :, ::-1], A, Bm[:, :, ::-1], Cm[:, :, ::-1],
+            D, bias,
+        )
+        return (y ** 2).sum()
+
+    gg = jax.grad(loss_g)(args)
+    gr = jax.grad(loss_r)(args)
+    for name, a, b in zip(["du", "dd", "dA", "dB", "dC", "dD", "dbias"],
+                          gg, gr):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=2e-3, atol=2e-3, err_msg=name
+        )
+
+
+def test_bf16_io():
+    """bf16 streams ride through the kernel with fp32 compute; tolerance
+    follows the reference kernel's bf16-input envelope
+    (test_selective_scan.py:148-151)."""
+    batch, G, L, dg, N = 2, 2, 64, 24, 4
+    u, d, A, Bm, Cm, D, bias = _make(batch, G, L, dg, N, seed=7)
+    y = selective_scan_g(
+        u.astype(jnp.bfloat16), d.astype(jnp.bfloat16), A,
+        Bm.astype(jnp.bfloat16), Cm.astype(jnp.bfloat16),
+        D=D, delta_bias=bias, delta_softplus=True, block_t=32,
+    )
+    assert y.dtype == jnp.bfloat16
+    y_ref = _ref(u, d, A, Bm, Cm, D, bias)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref), rtol=3e-2, atol=5e-2
+    )
+
+    def loss(u_):
+        return (selective_scan_g(
+            u_, d.astype(jnp.bfloat16), A, Bm.astype(jnp.bfloat16),
+            Cm.astype(jnp.bfloat16), D=D, delta_bias=bias,
+            delta_softplus=True, block_t=32,
+        ).astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(u.astype(jnp.bfloat16))
+    assert g.dtype == jnp.bfloat16
+    g_ref = jax.grad(lambda u_: (_ref(u_, d, A, Bm, Cm, D, bias) ** 2).sum())(u)
+    scale = max(float(jnp.abs(g_ref).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g, np.float32) / scale, np.asarray(g_ref) / scale,
+        rtol=5e-2, atol=5e-2,
+    )
