@@ -51,9 +51,13 @@ def _loop_time(make_loop, n_lo=1, n_hi=5, reps=2):
 
 
 def _fwd_loop(model, variables, batch, h, w, n):
-    """n chained forward passes with in-graph inputs (small HLO)."""
+    """n chained forward passes with in-graph inputs (small HLO).
 
-    def run():
+    `variables` must be a jit ARGUMENT, not a closure capture — captured
+    params are embedded as HLO constants, and sigma_base's ~700MB of them
+    blows past the compile-request size limit (HTTP 413)."""
+
+    def run(variables):
         key = jax.random.PRNGKey(0)
         rgb = jax.random.uniform(key, (batch, h, w, 3), jnp.float32)
         mx = jax.random.uniform(key, (batch, h, w, 3), jnp.float32)
@@ -67,7 +71,8 @@ def _fwd_loop(model, variables, batch, h, w, n):
         _, s = jax.lax.fori_loop(0, n, body, (rgb, jnp.float32(0)))
         return s
 
-    return jax.jit(run)
+    jitted = jax.jit(run)
+    return lambda: jitted(variables)
 
 
 def bench_fwd(backbone, batch, bf16, num_classes=9, h=480, w=640):
@@ -118,7 +123,7 @@ def bench_train_step(batch=8, bf16=True, h=480, w=640):
     rng = jax.random.PRNGKey(1)
 
     def make_loop(n):
-        def run():
+        def run(state, batch_dev):
             def body(_, carry):
                 st, loss = carry
                 st, l2 = step(st, batch_dev, rng)
@@ -129,7 +134,8 @@ def bench_train_step(batch=8, bf16=True, h=480, w=640):
             )
             return loss
 
-        return jax.jit(run)
+        jitted = jax.jit(run)
+        return lambda: jitted(state, batch_dev)
 
     t = _loop_time(make_loop, n_lo=1, n_hi=3)
     return batch / t
@@ -185,6 +191,29 @@ def main():
         extras["sigma_base_fwd_img_s"] = round(fps_base, 2)
     except Exception as e:  # pragma: no cover
         extras["sigma_base_err"] = type(e).__name__
+
+    if os.environ.get("BENCH_EVAL"):
+        # NYU-protocol sliding eval of one 480x640 image: 3 scales x flip
+        # x window grid, exp-score accumulation (evaluator.py:433-522 in
+        # the reference). Opt-in: compiles 2-3 extra window-shape graphs.
+        try:
+            import numpy as np
+
+            from sigma_tpu.engine.evaluator import SlidingEvaluator
+
+            ev = SlidingEvaluator(
+                model, 9, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
+                multi_scales=(0.75, 1.0, 1.25), is_flip=True,
+                eval_crop_size=(480, 640), stride_rate=2 / 3,
+            )
+            img = np.random.randint(0, 255, (480, 640, 3), np.uint8)
+            ev.sliding_eval(variables, img, img)  # compile
+            t0 = time.perf_counter()
+            for _ in range(3):
+                ev.sliding_eval(variables, img, img)
+            extras["eval_s_per_img"] = round((time.perf_counter() - t0) / 3, 3)
+        except Exception as e:  # pragma: no cover
+            extras["eval_err"] = type(e).__name__
 
     print(
         json.dumps(

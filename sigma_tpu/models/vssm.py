@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -132,6 +133,80 @@ class VSSBlock(nn.Module):
             )(y, deterministic=deterministic)
             x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
         return x
+
+
+class _VSSBlockScanBody(nn.Module):
+    """VSSBlock body shaped for `nn.scan`: per-step input is the block's
+    drop-path rate (traced), params are stacked along the scan axis.
+
+    Deep stages (sigma_small/base: 27 blocks) MUST scan — fully unrolled
+    they emit an HLO large enough to exceed compile-request limits, and
+    compile time scales with depth. Semantically identical to `VSSBlock`
+    (vmamba.py:1673-1722); parameter trees differ only by the stacking.
+    """
+
+    hidden_dim: int
+    deterministic: bool = True
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    mlp_ratio: float = 0.0
+    ln_eps: float = LN_EPS
+    linear_init: str = "trunc_normal"
+    scan_chunk: int = 128
+    dtype: Dtype = jnp.float32
+
+    def _drop_path(self, x, rate):
+        if self.deterministic:
+            return x
+        keep = 1.0 - rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+    @nn.compact
+    def __call__(self, x, dp):
+        y = nn.LayerNorm(epsilon=self.ln_eps, name="norm")(x)
+        y = SS2D(
+            d_model=self.hidden_dim,
+            d_state=self.d_state,
+            ssm_ratio=self.ssm_ratio,
+            dt_rank=self.dt_rank,
+            ln_eps=self.ln_eps,
+            linear_init=self.linear_init,
+            scan_chunk=self.scan_chunk,
+            dtype=self.dtype,
+            name="op",
+        )(y, deterministic=self.deterministic)
+        x = x + self._drop_path(y, dp)
+        if self.mlp_ratio > 0:
+            y = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
+            y = Mlp(
+                hidden_features=int(self.hidden_dim * self.mlp_ratio),
+                out_features=self.hidden_dim,
+                dtype=self.dtype,
+                name="mlp",
+            )(y, deterministic=self.deterministic)
+            x = x + self._drop_path(y, dp)
+        return x, None
+
+
+def vss_stage_scan(parent_kwargs, depth, drop_paths, remat, name):
+    """Build the nn.scan-stacked stage module (length = depth)."""
+    body = _VSSBlockScanBody
+    if remat:
+        body = nn.remat(body, prevent_cse=False)
+    scanned = nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=0,
+        length=depth,
+    )
+    return scanned(**parent_kwargs, name=name), jnp.asarray(
+        drop_paths, jnp.float32
+    )
 
 
 class ChannelAttention(nn.Module):
@@ -260,6 +335,10 @@ class VSSMBackbone(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     scan_chunk: int = 128
     remat: bool = True
+    # stages at least this deep run under nn.scan with stacked params —
+    # sigma_small/base's 27-block stage 3 fully unrolled exceeds
+    # compile-request size limits and compiles O(depth) slower
+    scan_min_depth: int = 12
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -284,20 +363,41 @@ class VSSMBackbone(nn.Module):
         outs = []
         blk_idx = 0
         for i, depth in enumerate(depths):
-            for d in range(depth):
-                x = block_cls(
-                    hidden_dim=dims[i],
-                    drop_path=float(dpr[blk_idx]),
-                    d_state=self.d_state,
-                    ssm_ratio=self.ssm_ratio,
-                    dt_rank=self.dt_rank,
-                    mlp_ratio=self.mlp_ratio,
-                    ln_eps=self.ln_eps,
-                    scan_chunk=self.scan_chunk,
-                    dtype=self.dtype,
-                    name=f"layers_{i}_blocks_{d}",
-                )(x, deterministic)
-                blk_idx += 1
+            if depth >= self.scan_min_depth:
+                stage, dps = vss_stage_scan(
+                    dict(
+                        hidden_dim=dims[i],
+                        deterministic=deterministic,
+                        d_state=self.d_state,
+                        ssm_ratio=self.ssm_ratio,
+                        dt_rank=self.dt_rank,
+                        mlp_ratio=self.mlp_ratio,
+                        ln_eps=self.ln_eps,
+                        scan_chunk=self.scan_chunk,
+                        dtype=self.dtype,
+                    ),
+                    depth,
+                    dpr[blk_idx : blk_idx + depth],
+                    self.remat,
+                    name=f"layers_{i}_scan",
+                )
+                x, _ = stage(x, dps)
+                blk_idx += depth
+            else:
+                for d in range(depth):
+                    x = block_cls(
+                        hidden_dim=dims[i],
+                        drop_path=float(dpr[blk_idx]),
+                        d_state=self.d_state,
+                        ssm_ratio=self.ssm_ratio,
+                        dt_rank=self.dt_rank,
+                        mlp_ratio=self.mlp_ratio,
+                        ln_eps=self.ln_eps,
+                        scan_chunk=self.scan_chunk,
+                        dtype=self.dtype,
+                        name=f"layers_{i}_blocks_{d}",
+                    )(x, deterministic)
+                    blk_idx += 1
             if i in self.out_indices:
                 o = nn.LayerNorm(epsilon=self.ln_eps, name=f"outnorm{i}")(x)
                 outs.append(o)
@@ -333,6 +433,7 @@ class VSSMClassifier(nn.Module):
     ln_eps: float = LN_EPS
     scan_chunk: int = 128
     remat: bool = False
+    scan_min_depth: int = 12
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -354,20 +455,41 @@ class VSSMClassifier(nn.Module):
 
         blk_idx = 0
         for i, depth in enumerate(depths):
-            for d in range(depth):
-                x = block_cls(
-                    hidden_dim=dims[i],
-                    drop_path=float(dpr[blk_idx]),
-                    d_state=self.d_state,
-                    ssm_ratio=self.ssm_ratio,
-                    dt_rank=self.dt_rank,
-                    mlp_ratio=self.mlp_ratio,
-                    ln_eps=self.ln_eps,
-                    scan_chunk=self.scan_chunk,
-                    dtype=self.dtype,
-                    name=f"layers_{i}_blocks_{d}",
-                )(x, deterministic)
-                blk_idx += 1
+            if depth >= self.scan_min_depth:
+                stage, dps = vss_stage_scan(
+                    dict(
+                        hidden_dim=dims[i],
+                        deterministic=deterministic,
+                        d_state=self.d_state,
+                        ssm_ratio=self.ssm_ratio,
+                        dt_rank=self.dt_rank,
+                        mlp_ratio=self.mlp_ratio,
+                        ln_eps=self.ln_eps,
+                        scan_chunk=self.scan_chunk,
+                        dtype=self.dtype,
+                    ),
+                    depth,
+                    dpr[blk_idx : blk_idx + depth],
+                    self.remat,
+                    name=f"layers_{i}_scan",
+                )
+                x, _ = stage(x, dps)
+                blk_idx += depth
+            else:
+                for d in range(depth):
+                    x = block_cls(
+                        hidden_dim=dims[i],
+                        drop_path=float(dpr[blk_idx]),
+                        d_state=self.d_state,
+                        ssm_ratio=self.ssm_ratio,
+                        dt_rank=self.dt_rank,
+                        mlp_ratio=self.mlp_ratio,
+                        ln_eps=self.ln_eps,
+                        scan_chunk=self.scan_chunk,
+                        dtype=self.dtype,
+                        name=f"layers_{i}_blocks_{d}",
+                    )(x, deterministic)
+                    blk_idx += 1
             if i < len(depths) - 1:
                 x = PatchMerging2D(
                     out_dim=dims[i + 1],

@@ -193,15 +193,22 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
         c_t = jnp.swapaxes(c_blk, 1, 2)
         if hoist:
+            # vectorized-over-U precomputes: everything that does not
+            # depend on the dh chain moves off the per-step critical path
             a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
+            dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
+            cdy_blk = dy_blk[:, :, None, :] * c_blk[:, :, :, None]
+            dtb_blk = d_blk[:, :, None, :] * b_blk[:, :, :, None]
+            btu_blk = u_blk[:, :, None, :] * b_blk[:, :, :, None]
         h = hstash_scr[lc]
         for k in ks:
             hloc_scr[k] = h
-            du = du_blk[:, k, :][:, None, :]
-            a_t = a_blk[:, k] if hoist else jnp.exp(
-                d_blk[:, k, :][:, None, :] * A
-            )
-            h = a_t * h + du * b_t[:, :, k : k + 1]
+            if hoist:
+                h = a_blk[:, k] * h + dub_blk[:, k]
+            else:
+                du = du_blk[:, k, :][:, None, :]
+                a_t = jnp.exp(d_blk[:, k, :][:, None, :] * A)
+                h = a_t * h + du * b_t[:, :, k : k + 1]
         dA_acc = jnp.zeros_like(dA_scr[...])
         dus = [None] * unroll
         dds = [None] * unroll
@@ -209,18 +216,27 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         dcs = [None] * unroll
         for k in reversed(ks):
             dt = d_blk[:, k, :][:, None, :]
-            ut = u_blk[:, k, :][:, None, :]
             du = du_blk[:, k, :][:, None, :]
-            bt = b_t[:, :, k : k + 1]
-            ct = c_t[:, :, k : k + 1]
             dyt = dy_blk[:, k, :][:, None, :]
             h_prev = hloc_scr[k]                 # (G, N, dg)
-            a_t = a_blk[:, k] if hoist else jnp.exp(dt * A)
-            h_t = a_t * h_prev + du * bt
-            dh = dh + ct * dyt
-            dus[k] = jnp.sum(dh * dt * bt, axis=1)              # (G, dg)
-            dds[k] = jnp.sum(dh * (A * a_t * h_prev + bt * ut), axis=1)
-            dA_acc = dA_acc + dh * a_t * h_prev * dt
+            if hoist:
+                a_t = a_blk[:, k]
+                ahp = a_t * h_prev
+                h_t = ahp + dub_blk[:, k]
+                dh = dh + cdy_blk[:, k]
+                dus[k] = jnp.sum(dh * dtb_blk[:, k], axis=1)     # (G, dg)
+                dds[k] = jnp.sum(dh * (A * ahp + btu_blk[:, k]), axis=1)
+            else:
+                ut = u_blk[:, k, :][:, None, :]
+                bt = b_t[:, :, k : k + 1]
+                ct = c_t[:, :, k : k + 1]
+                a_t = jnp.exp(dt * A)
+                ahp = a_t * h_prev
+                h_t = ahp + du * bt
+                dh = dh + ct * dyt
+                dus[k] = jnp.sum(dh * dt * bt, axis=1)           # (G, dg)
+                dds[k] = jnp.sum(dh * (A * ahp + bt * ut), axis=1)
+            dA_acc = dA_acc + dh * ahp * dt
             dbs[k] = jnp.sum(dh * du, axis=2)                    # (G, N)
             dcs[k] = jnp.sum(h_t * dyt, axis=2)
             dh = dh * a_t
@@ -260,7 +276,8 @@ def _block_t(g: int, dg: int, n_state: int, want: int, L: int) -> int:
     state = 4 * g * n_state * dg
     u = _unroll_for(g, dg, n_state)
     hoist = _hoist_for(g, dg, n_state, u)
-    a_fix = 2 * u * state if hoist else 0  # hoisted exp + du*B blocks
+    # hoisted (U, G, N, dg) blocks: exp + du*B in fwd; + c*dy, dt*B, u*B in bwd
+    a_fix = 5 * u * state if hoist else 0
     # dh/dA/dbias/dD carries + hloc stash + hoisted a_blk + slack
     fixed = 2 * state + u * state + a_fix + 6 * 1024 * 1024
     per_t = 2 * 4 * g * (5 * dg + 4 * n_state) + state // u
@@ -515,13 +532,14 @@ def selective_scan_g(
         N = N + npad
 
     # Fold (part of) the batch into G for more ILP chains per grid step.
-    # eff_g ~ 16 measured fastest at Sigma shapes with bf16 streams
-    # (experiments/scan_g_tune3): beyond that, smaller T and bigger scratch
-    # cost more than the extra chains buy.
+    # eff_g ~ 8: wider folds measured ~12% faster fwd-only at stage-1
+    # (experiments/scan_g_tune3) but double the per-step state, which
+    # shrinks T and QUADRUPLES the bwd hck checkpoint (state x L/T) —
+    # enough to OOM training at batch 8. 8 balances both paths.
     eff_g, fold = G, 1
-    if fold_batch and batch > 1 and G < 16:
+    if fold_batch and batch > 1 and G < 8:
         for cand in range(batch, 1, -1):
-            if batch % cand == 0 and G * cand <= 16 \
+            if batch % cand == 0 and G * cand <= 8 \
                     and cand * G * N * dg * 4 <= 2 * 1024 * 1024:
                 fold = cand
                 break

@@ -134,6 +134,28 @@ def _torch_candidates(flax_path: tuple[str, ...]) -> list[tuple[str, Any]]:
     return out
 
 
+def _is_scan_seg(p: str) -> bool:
+    return p.startswith("layers_") and p.endswith("_scan")
+
+
+def _scan_stack_resolve(parts, leaf, per_block_resolve):
+    """Resolve a stacked nn.scan stage leaf (deep stages run under nn.scan
+    with params stacked along axis 0) by resolving each per-block torch key
+    and stacking. Returns (keys, stacked) or None."""
+    idx = next(i for i, p in enumerate(parts) if _is_scan_seg(p))
+    stage = parts[idx][: -len("_scan")]  # "layers_{i}"
+    depth = leaf.shape[0]
+    keys, ws = [], []
+    for j in range(depth):
+        pj = parts[:idx] + (f"{stage}_blocks_{j}",) + parts[idx + 1 :]
+        got = per_block_resolve(pj)
+        if got is None:
+            return None
+        keys.append(got[0])
+        ws.append(got[1])
+    return keys, np.stack(ws, axis=0)
+
+
 def convert_vmamba_trunk(flax_trunk: Any, sd: Dict[str, np.ndarray]):
     """Fill a VSSMBackbone params tree from a torch VMamba state dict.
 
@@ -143,20 +165,39 @@ def convert_vmamba_trunk(flax_trunk: Any, sd: Dict[str, np.ndarray]):
     sd = _strip(sd)
     loaded, missing = [], []
 
+    def pb(pj):
+        for key, fn in _torch_candidates(pj):
+            if key in sd:
+                return key, fn(np.asarray(sd[key]))
+        return None
+
     def fill(path, leaf):
         parts = tuple(
             getattr(k, "key", getattr(k, "name", str(k))) for k in path
         )
-        for key, fn in _torch_candidates(parts):
-            if key in sd:
-                w = fn(np.asarray(sd[key]))
+        if any(_is_scan_seg(p) for p in parts):
+            got = _scan_stack_resolve(parts, leaf, pb)
+            if got is not None:
+                keys, w = got
                 if w.shape != leaf.shape:
                     raise ValueError(
                         f"shape mismatch for {'.'.join(parts)}: ckpt "
                         f"{w.shape} vs model {leaf.shape}"
                     )
-                loaded.append(key)
+                loaded.extend(keys)
                 return w.astype(np.asarray(leaf).dtype)
+            missing.append(".".join(parts))
+            return leaf
+        got = pb(parts)
+        if got is not None:
+            key, w = got
+            if w.shape != leaf.shape:
+                raise ValueError(
+                    f"shape mismatch for {'.'.join(parts)}: ckpt "
+                    f"{w.shape} vs model {leaf.shape}"
+                )
+            loaded.append(key)
+            return w.astype(np.asarray(leaf).dtype)
         missing.append(".".join(parts))
         return leaf
 
@@ -370,14 +411,19 @@ def convert_sigma_full(params: Any, sd: Dict[str, np.ndarray]):
     state dict. Returns (new_params, loaded, missing)."""
     sd = _strip(sd)
 
-    def resolve(parts, leaf):
-        got = _sigma_full_resolve(parts, sd)
+    def pb(pj):
+        got = _sigma_full_resolve(pj, sd)
         if got is None:
             return None
         key, fn = got
         if key not in sd:
             return None
         return key, fn(np.asarray(sd[key]))
+
+    def resolve(parts, leaf):
+        if any(_is_scan_seg(p) for p in parts):
+            return _scan_stack_resolve(parts, leaf, pb)
+        return pb(parts)
 
     return _generic_fill(params, resolve)
 
@@ -430,7 +476,10 @@ def _generic_fill(tree, resolve):
                 f"shape mismatch for {'.'.join(parts)}: ckpt {w.shape} "
                 f"vs model {leaf.shape}"
             )
-        loaded.append(key)
+        if isinstance(key, list):  # stacked nn.scan stage: one key per block
+            loaded.extend(key)
+        else:
+            loaded.append(key)
         return w.astype(np.asarray(leaf).dtype)
 
     new = jax.tree_util.tree_map_with_path(fill, tree)

@@ -209,3 +209,55 @@ def test_full_model_forward_and_grad():
     # every parameter receives gradient signal somewhere
     nonzero = sum(float(jnp.abs(g).sum()) > 0 for g in flat)
     assert nonzero / len(flat) > 0.9
+
+
+def test_vssm_classifier():
+    """Full classifier variant (reference VSSM, vmamba.py:1931-2147):
+    patch embed -> stages -> LN -> GAP -> linear head."""
+    import jax
+    import jax.numpy as jnp
+
+    from sigma_tpu.models.vssm import VSSMClassifier
+
+    m = VSSMClassifier(
+        num_classes=10, depths=(1, 1, 1, 1), dims=(16, 32, 64, 128),
+        d_state=8, drop_path_rate=0.0,
+    )
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    logits = m.apply(variables, x)
+    assert logits.shape == (2, 10)
+    # head params exist and the trunk param names match the backbone's
+    assert "classifier_head" in variables["params"]
+    assert "layers_0_blocks_0" in variables["params"]
+
+
+def test_scanned_stage_equivalence():
+    """Deep stages run under nn.scan with stacked params (compile-size fix
+    for sigma_small/base). The scanned layout must equal the per-block
+    layout when the per-block params are stacked along axis 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sigma_tpu.models.vssm import VSSMBackbone
+
+    kw = dict(depths=(1, 3, 1, 1), dims=(8, 16, 32, 64), d_state=4,
+              drop_path_rate=0.1, remat=False)
+    m_unrolled = VSSMBackbone(scan_min_depth=99, **kw)
+    m_scanned = VSSMBackbone(scan_min_depth=3, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v_u = m_unrolled.init(jax.random.PRNGKey(1), x)
+
+    # restack layers_1_blocks_{0,1,2} -> layers_1_scan
+    p = dict(jax.tree_util.tree_map(lambda a: a, v_u["params"]))
+    blocks = [p.pop(f"layers_1_blocks_{d}") for d in range(3)]
+    p["layers_1_scan"] = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls, axis=0), *blocks
+    )
+    y_u = m_unrolled.apply(v_u, x)
+    y_s = m_scanned.apply({"params": p}, x)
+    for a, b in zip(y_u, y_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )

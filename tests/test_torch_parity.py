@@ -281,3 +281,41 @@ def test_vmamba_imagenet_ckpt_ingest(ref, tmp_path):
     # and the loaded values actually landed (pick one deep leaf)
     pe = new_trunk["patch_embed"]["proj"]["kernel"]
     assert np.asarray(pe).shape == (4, 4, 3, 16)
+
+
+def test_scanned_trunk_convert_parity(ref):
+    """Deep stages stored as nn.scan-stacked params: the trunk converter
+    must stack the per-block torch tensors, and the converted scanned
+    model must match the torch reference forward."""
+    from sigma_tpu.models.vssm import VSSMBackbone
+
+    depths, dims = (1, 2, 1, 1), (16, 32, 64, 128)
+    tm = ref.vmamba.Backbone_VSSM(
+        depths=depths, dims=dims, d_state=8, ssm_ratio=2.0,
+        out_indices=(0, 1, 2, 3), downsample_version="v1", mlp_ratio=0.0,
+        drop_path_rate=0.0,
+    )
+    tm.eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+
+    fm = VSSMBackbone(
+        depths=depths, dims=dims, d_state=8, drop_path_rate=0.0,
+        remat=False, scan_min_depth=2,  # stage 1 (depth 2) scans
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    variables = fm.init(jax.random.PRNGKey(1), x)
+    assert "layers_1_scan" in variables["params"]
+    new_trunk, loaded, missing = C.convert_vmamba_trunk(
+        variables["params"], sd
+    )
+    assert not missing, missing
+    # every torch block tensor of stage 1 must have been consumed
+    assert any("layers.1.blocks.1" in k for k in loaded)
+
+    y_flax = fm.apply({"params": new_trunk}, x)
+    with torch.no_grad():
+        y_torch = tm(torch.from_numpy(
+            np.asarray(x.transpose(0, 3, 1, 2), np.float32)
+        ))
+    for a, b, lbl in zip(y_flax, y_torch, "0123"):
+        _assert_close(a.transpose(0, 3, 1, 2), b, label=f"stage{lbl}")
