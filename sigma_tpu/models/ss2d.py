@@ -37,7 +37,10 @@ from sigma_tpu.models.common import (
     trunc_normal_init,
 )
 from sigma_tpu.ops import selective_scan_cl
-from sigma_tpu.ops.pallas_scan_g import selective_scan_g
+from sigma_tpu.ops.pallas_scan_g import (
+    selective_scan_g,
+    selective_scan_g_proj,
+)
 
 Dtype = Any
 
@@ -111,17 +114,10 @@ class _SSMDirParams(nn.Module):
         g = k // j  # direction groups; 2 = (fwd, rev), 1 = fwd only
         xw = self.x_proj_weight  # (K, D, R+2N)
         wdt = jnp.einsum("kdr,kre->kde", xw[..., :r], self.dt_projs_weight)
-        # THREE separate projections (dt, B, C): slicing a (D+2N)-channel
-        # matmul output at 192/16/16 boundaries relayouts the whole tensor
-        # on TPU (lane tiles are 128-wide) — measured 60+ ms/fwd of pure
-        # 'slice' HLOs; separate skinny matmuls avoid it entirely
         cdt = u_layouts.dtype
         wdt = wdt.reshape(g, j, d, d).astype(cdt)
         wb = xw[..., r : r + n].reshape(g, j, d, n).astype(cdt)
         wcc = xw[..., r + n :].reshape(g, j, d, n).astype(cdt)
-        dts_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wdt)
-        bs_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wb)
-        cs_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wcc)
 
         A = -jnp.exp(self.A_logs.astype(jnp.float32)).reshape(k, d, n)
         A_cl = jnp.swapaxes(A, 1, 2).reshape(g, j, n, d)
@@ -129,6 +125,24 @@ class _SSMDirParams(nn.Module):
         bias = self.dt_projs_bias.reshape(g, j, d)
 
         y = None
+        if jax.default_backend() == "tpu":
+            # dt/B/C projected ON THE MXU INSIDE the kernel: the streamed
+            # (B, g, j, L, D) tensors never touch HBM
+            for gi in range(g):
+                yg = selective_scan_g_proj(
+                    u_layouts, wdt[gi], wb[gi], wcc[gi], A_cl[gi],
+                    D=Ds[gi], delta_bias=bias[gi], delta_softplus=True,
+                    reverse=(gi == 1),
+                )
+                y = yg if y is None else y + yg
+            return y
+
+        # portable path: THREE separate projections (dt, B, C) — slicing a
+        # (D+2N)-channel matmul output at 192/16/16 boundaries relayouts
+        # the whole tensor on TPU (lane tiles are 128-wide)
+        dts_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wdt)
+        bs_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wb)
+        cs_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wcc)
         for gi in range(g):
             yg = _scan_dir(
                 u_layouts, dts_a[:, gi], bs_a[:, gi], cs_a[:, gi],
@@ -137,6 +151,42 @@ class _SSMDirParams(nn.Module):
             )
             y = yg if y is None else y + yg
         return y
+
+
+class _SplitDense(nn.Module):
+    """One (D -> features) Linear parameter applied as two matmuls on the
+    kernel halves [0:split) and [split:features).
+
+    Param tree identical to nn.Dense (`kernel`/`bias`), so the checkpoint
+    converters are unaffected. The point: slicing the fused output at a
+    non-128-multiple lane boundary (d_inner=192, 384, ...) relayouts the
+    whole activation on TPU; slicing the small weight is free.
+    """
+
+    features: int
+    split: int
+    use_bias: bool = False
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        outs = []
+        for lo, hi in ((0, self.split), (self.split, self.features)):
+            y = x @ kernel[:, lo:hi]
+            if bias is not None:
+                y = y + bias[lo:hi].astype(self.dtype)
+            outs.append(y)
+        return outs
 
 
 def _scan_dir(u, dts, bs, cs, A_cl, Ds, bias, reverse, chunk):
@@ -194,14 +244,14 @@ class SS2D(nn.Module):
         dt_rank = _auto(self.dt_rank, self.d_model, 16)
         d_state = _auto(self.d_state, self.d_model, 6)
 
-        xz = nn.Dense(
-            2 * d_inner,
+        xx, z = _SplitDense(
+            features=2 * d_inner,
+            split=d_inner,
             use_bias=self.bias,
             dtype=self.dtype,
             kernel_init=_linear_init(self.linear_init, self.d_model),
             name="in_proj",
         )(x)
-        xx, z = jnp.split(xz, 2, axis=-1)
         if self.d_conv > 1:
             xx = depthwise_conv3x3(
                 d_inner, bias=self.conv_bias, name="conv2d", dtype=self.dtype

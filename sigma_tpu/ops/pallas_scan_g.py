@@ -69,8 +69,17 @@ def _d_eff_blk(d_blk, bias_ref, softplus, has_bias):
 def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 *refs,
                 T, unroll, hoist, softplus, has_bias, has_d,
-                reverse=False, with_hck=True):
-    if with_hck:
+                reverse=False, with_hck=True, proj=False):
+    if proj:
+        # fused-projection mode: d_ref/b_ref/c_ref are the PROJECTION
+        # WEIGHTS (G,dg,dg), (G,dg,N), (G,dg,N); dt/B/C are computed on the
+        # MXU per grid block and never round-trip HBM (their streamed
+        # tensors cost ~550MB of writes+reads per stage-1 SS2D call)
+        if with_hck:
+            y_ref, hck_ref, h_scr, d_scr, b_scr, c_scr = refs
+        else:
+            y_ref, h_scr, d_scr, b_scr, c_scr = refs
+    elif with_hck:
         y_ref, hck_ref, h_scr = refs
     else:
         y_ref, h_scr = refs
@@ -89,15 +98,36 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
     # no flipped copy of the sequence is ever materialized
     ks = list(reversed(range(unroll))) if reverse else list(range(unroll))
 
+    if proj:
+        G = A.shape[0]
+        u_all = u_ref[0]  # (G, T, dg) io dtype
+        for g in range(G):
+            ug = u_all[g]
+            d_scr[g] = jax.lax.dot_general(
+                ug, d_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            b_scr[g] = jax.lax.dot_general(
+                ug, b_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            c_scr[g] = jax.lax.dot_general(
+                ug, c_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
     def body(i, h):  # h: (G, N, dg)
         t0 = (nch - 1 - i if reverse else i) * unroll
-        d_blk = _d_eff_blk(
-            d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32),
-            bias_ref, softplus, has_bias
-        )                                            # (G, U, dg)
+        if proj:
+            d_raw = d_scr[:, pl.ds(t0, unroll), :]
+            b_blk = b_scr[:, pl.ds(t0, unroll), :]
+            c_blk = c_scr[:, pl.ds(t0, unroll), :]
+        else:
+            d_raw = d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+            b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+            c_blk = c_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        d_blk = _d_eff_blk(d_raw, bias_ref, softplus, has_bias)  # (G, U, dg)
         u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
-        b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
-        c_blk = c_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         du_blk = d_blk * u_blk
         # one transpose per block -> static width-1 lane slices per step
         c_t = jnp.swapaxes(c_blk, 1, 2)              # (G, N, U)
@@ -300,7 +330,10 @@ def _pallas_params(interpret):
 
 
 def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
-              with_hck=True):
+              with_hck=True, proj=False):
+    """proj=False: d/b/c are streamed (B,G,L,dg)/(B,G,L,N) tensors.
+    proj=True:  d/b/c are projection weights (G,dg,dg)/(G,dg,N)/(G,dg,N)
+    and dt/B/C are computed on the MXU inside the kernel."""
     batch, G, L, dg = u.shape
     N = a3.shape[1]
     nl = L // T
@@ -308,7 +341,7 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
     un = _unroll_for(G, dg, N)
     kernel = functools.partial(
         _fwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un),
-        reverse=reverse, with_hck=with_hck, **flags
+        reverse=reverse, with_hck=with_hck, proj=proj, **flags
     )
 
     # reversed scans stream physical blocks last-to-first; y still lands at
@@ -329,16 +362,37 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
         out_shape.append(
             jax.ShapeDtypeStruct((batch, nl, G, N, dg), jnp.float32)
         )
+    if proj:
+        dbc_specs = [
+            pl.BlockSpec((G, dg, dg), lambda b_, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, dg, N), lambda b_, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, dg, N), lambda b_, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        extra_scratch = [
+            pltpu.VMEM((G, T, dg), jnp.float32),  # dt block
+            pltpu.VMEM((G, T, N), jnp.float32),   # B block
+            pltpu.VMEM((G, T, N), jnp.float32),   # C block
+        ]
+    else:
+        dbc_specs = [
+            pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, N), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, N), blk, memory_space=pltpu.VMEM),
+        ]
+        extra_scratch = []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM),
+            dbc_specs[0],
             pl.BlockSpec((G, N, dg), lambda b_, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), blk, memory_space=pltpu.VMEM),
+            dbc_specs[1],
+            dbc_specs[2],
             pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
@@ -346,7 +400,7 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((G, N, dg), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((G, N, dg), jnp.float32)] + extra_scratch,
         cost_estimate=pl.CostEstimate(
             flops=9 * batch * G * L * dg * N,
             bytes_accessed=4 * batch * G * L * (3 * dg + 2 * N),
@@ -379,6 +433,18 @@ def _scan_core_g_fwd(u, d, a3, b, c, bias, dk,
 def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, reverse,
                      res, dy):
     u, d, a3, b, c, bias, dk, hck = res
+    du, dd, dA, dBt, dCt, dbias, dD = _bwd_call(
+        u, d, a3, b, c, bias, dk, hck, dy,
+        T, softplus, has_bias, has_d, interpret, reverse,
+    )
+    # cotangents must match primal operand dtypes (bf16 streams)
+    return (du.astype(u.dtype), dd.astype(d.dtype), dA,
+            dBt.astype(b.dtype), dCt.astype(c.dtype), dbias, dD)
+
+
+def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
+              T, softplus, has_bias, has_d, interpret, reverse):
+    """Shared bwd pallas_call; returns raw fp32 cotangents."""
     batch, G, L, dg = u.shape
     N = a3.shape[1]
     nl = L // T
@@ -443,13 +509,66 @@ def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, reverse,
     )(u, d, a3, b, c, bias, dk, hck, dy)
 
     dA = dA_b.sum(axis=0)                           # (G, N, dg)
-    # cotangents must match primal operand dtypes (bf16 streams)
-    return (du.astype(u.dtype), dd.astype(d.dtype), dA,
-            dBt.astype(b.dtype), dCt.astype(c.dtype),
+    return (du, dd, dA, dBt, dCt,
             dbias_b.sum(axis=0), dD_b.sum(axis=0))
 
 
 _scan_core_g.defvjp(_scan_core_g_fwd, _scan_core_g_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12)
+)
+def _scan_core_gp(u, wdt, wb, wc, a3, bias, dk,
+                  T, softplus, has_bias, has_d, interpret, reverse):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
+    y, _ = _fwd_call(u, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
+                     reverse, with_hck=False, proj=True)
+    return y
+
+
+def _scan_core_gp_fwd(u, wdt, wb, wc, a3, bias, dk,
+                      T, softplus, has_bias, has_d, interpret, reverse):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
+    y, hck = _fwd_call(u, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
+                       reverse, with_hck=True, proj=True)
+    return y, (u, wdt, wb, wc, a3, bias, dk, hck)
+
+
+def _scan_core_gp_bwd(T, softplus, has_bias, has_d, interpret, reverse,
+                      res, dy):
+    u, wdt, wb, wc, a3, bias, dk, hck = res
+    # Recompute the projected streams in XLA for the bwd kernel (the fwd
+    # computed them in-kernel and deliberately did not materialize them);
+    # f32 output matches the kernel dots' preferred_element_type.
+    dts = jnp.einsum("bgld,gde->bgle", u, wdt,
+                     preferred_element_type=jnp.float32)
+    bs = jnp.einsum("bgld,gdn->bgln", u, wb,
+                    preferred_element_type=jnp.float32)
+    cs = jnp.einsum("bgld,gdn->bgln", u, wc,
+                    preferred_element_type=jnp.float32)
+    du_s, dd, dA, dB, dC, dbias, dD = _bwd_call(
+        u, dts, a3, bs, cs, bias, dk, hck, dy,
+        T, softplus, has_bias, has_d, interpret, reverse,
+    )
+    # chain the projection adjoints (dd/dB/dC are grads w.r.t. the
+    # projected streams; u also feeds the scan directly)
+    du = (du_s
+          + jnp.einsum("bgle,gde->bgld", dd, wdt,
+                       preferred_element_type=jnp.float32)
+          + jnp.einsum("bgln,gdn->bgld", dB, wb,
+                       preferred_element_type=jnp.float32)
+          + jnp.einsum("bgln,gdn->bgld", dC, wc,
+                       preferred_element_type=jnp.float32))
+    uf = u.astype(jnp.float32)
+    dwdt = jnp.einsum("bgld,bgle->gde", uf, dd)
+    dwb = jnp.einsum("bgld,bgln->gdn", uf, dB)
+    dwc = jnp.einsum("bgld,bgln->gdn", uf, dC)
+    return (du.astype(u.dtype), dwdt.astype(wdt.dtype),
+            dwb.astype(wb.dtype), dwc.astype(wc.dtype), dA, dbias, dD)
+
+
+_scan_core_gp.defvjp(_scan_core_gp_fwd, _scan_core_gp_bwd)
 
 
 def selective_scan_g(
@@ -563,6 +682,107 @@ def selective_scan_g(
 
     y = _scan_core_g(
         uf, d_f, a_f, b_f, c_f, bias_f, dk_f,
+        T, bool(delta_softplus), has_bias, has_d, interpret, bool(reverse),
+    )
+    if pad:
+        y = y[:, :, :L]
+    if fold > 1:
+        y = y.reshape(batch, G, L, dg)
+    return y.astype(dtype_in)
+
+
+def selective_scan_g_proj(
+    u, w_dt, w_b, w_c, A, D=None, delta_bias=None, delta_softplus=False,
+    block_t: int = 512, fold_batch: bool = True, interpret: bool | None = None,
+    reverse: bool = False,
+):
+    """Fused-projection grouped scan: dt/B/C are PROJECTED FROM u ON THE
+    MXU INSIDE THE KERNEL (dt = u @ w_dt, B = u @ w_b, C = u @ w_c per
+    group), so the three streamed tensors — ~550MB of HBM writes+reads per
+    stage-1 SS2D call — never materialize. This is the TPU analogue of the
+    reference's `cross_selective_scan` einsum pipeline (vmamba.py:195-207)
+    collapsed into the kernel.
+
+    Args:
+      u: (B, G, L, dg).
+      w_dt: (G, dg, dg) composed dt projection (x_proj[:, :R] @ dt_proj).
+      w_b, w_c: (G, dg, N).
+      A: (G, N, dg) negative; D/delta_bias: (G, dg) optional.
+      reverse: as in `selective_scan_g`.
+    Returns y (B, G, L, dg), dtype-preserving; scan math fp32.
+    """
+    dtype_in = u.dtype
+    batch, G, L, dg = u.shape
+    N = A.shape[1]
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # wide-state shapes: fall back to the decomposed path (XLA projections
+    # + per-row kernel) — same math, streamed
+    if 4 * G * N * dg > 1536 * 1024:
+        dts = jnp.einsum("bgld,gde->bgle", u, w_dt,
+                         preferred_element_type=jnp.float32)
+        bs = jnp.einsum("bgld,gdn->bgln", u, w_b,
+                        preferred_element_type=jnp.float32)
+        cs = jnp.einsum("bgld,gdn->bgln", u, w_c,
+                        preferred_element_type=jnp.float32)
+        return selective_scan_g(
+            u, dts, A, bs, cs, D=D, delta_bias=delta_bias,
+            delta_softplus=delta_softplus, block_t=block_t,
+            fold_batch=fold_batch, interpret=interpret, reverse=reverse,
+        )
+
+    io_dtype = jnp.bfloat16 if dtype_in == jnp.bfloat16 else jnp.float32
+    uf = u.astype(io_dtype)
+    wdt_f = w_dt.astype(io_dtype)
+    wb_f = w_b.astype(io_dtype)
+    wc_f = w_c.astype(io_dtype)
+    a_f = A.astype(jnp.float32)
+    has_bias = delta_bias is not None
+    has_d = D is not None
+    bias_f = (
+        delta_bias.astype(jnp.float32).reshape(G, dg)
+        if has_bias else jnp.zeros((G, dg), jnp.float32)
+    )
+    dk_f = (
+        D.astype(jnp.float32).reshape(G, dg)
+        if has_d else jnp.zeros((G, dg), jnp.float32)
+    )
+
+    # pad the state dim to the fp32 sublane tile (zero B/C columns and
+    # A rows are inert)
+    npad = (-N) % 8
+    if npad:
+        a_f = jnp.pad(a_f, ((0, 0), (0, npad), (0, 0)))
+        wb_f = jnp.pad(wb_f, ((0, 0), (0, 0), (0, npad)))
+        wc_f = jnp.pad(wc_f, ((0, 0), (0, 0), (0, npad)))
+        N = N + npad
+
+    eff_g, fold = G, 1
+    if fold_batch and batch > 1 and G < 8:
+        for cand in range(batch, 1, -1):
+            if batch % cand == 0 and G * cand <= 8 \
+                    and cand * G * N * dg * 4 <= 2 * 1024 * 1024:
+                fold = cand
+                break
+    if fold > 1:
+        uf = uf.reshape(batch // fold, fold * G, L, dg)
+        wdt_f = jnp.tile(wdt_f, (fold, 1, 1))
+        wb_f = jnp.tile(wb_f, (fold, 1, 1))
+        wc_f = jnp.tile(wc_f, (fold, 1, 1))
+        a_f = jnp.tile(a_f, (fold, 1, 1))
+        bias_f = jnp.tile(bias_f, (fold, 1))
+        dk_f = jnp.tile(dk_f, (fold, 1))
+        eff_g = fold * G
+
+    T = _block_t(eff_g, dg, N, block_t, L)
+    pad = (-L) % T
+    if pad:
+        uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    y = _scan_core_gp(
+        uf, wdt_f, wb_f, wc_f, a_f, bias_f, dk_f,
         T, bool(delta_softplus), has_bias, has_d, interpret, bool(reverse),
     )
     if pad:

@@ -187,3 +187,85 @@ def test_bf16_io():
         np.asarray(g, np.float32) / scale, np.asarray(g_ref) / scale,
         rtol=5e-2, atol=5e-2,
     )
+
+
+def _make_proj(batch, G, L, dg, N, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    u = _rand(ks[0], batch, G, L, dg)
+    wdt = _rand(ks[1], G, dg, dg) * (1.0 / dg ** 0.5) * 0.3
+    wb = _rand(ks[2], G, dg, N) * (1.0 / dg ** 0.5)
+    wc = _rand(ks[3], G, dg, N) * (1.0 / dg ** 0.5)
+    A = -jnp.exp(_rand(ks[4], G, N, dg))
+    D = _rand(ks[5], G, dg)
+    bias = _rand(ks[6], G, dg) * 0.1
+    return u, wdt, wb, wc, A, D, bias
+
+
+def _proj_ref(u, wdt, wb, wc, A, D, bias):
+    dts = jnp.einsum("bgld,gde->bgle", u, wdt)
+    bs = jnp.einsum("bgld,gdn->bgln", u, wb)
+    cs = jnp.einsum("bgld,gdn->bgln", u, wc)
+    return _ref(u, dts, A, bs, cs, D, bias)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_projection_scan(reverse):
+    """dt/B/C computed on the MXU inside the kernel must match the
+    decomposed XLA-projection + scan pipeline."""
+    from sigma_tpu.ops.pallas_scan_g import selective_scan_g_proj
+
+    batch, G, L, dg, N = 2, 2, 88, 24, 4
+    u, wdt, wb, wc, A, D, bias = _make_proj(batch, G, L, dg, N, seed=9)
+    y = selective_scan_g_proj(
+        u, wdt, wb, wc, A, D=D, delta_bias=bias, delta_softplus=True,
+        block_t=32, reverse=reverse,
+    )
+    if reverse:
+        y_ref = _proj_ref(
+            u[:, :, ::-1], wdt, wb, wc, A, D, bias)[:, :, ::-1]
+    else:
+        y_ref = _proj_ref(u, wdt, wb, wc, A, D, bias)
+    np.testing.assert_allclose(y, y_ref, rtol=6e-4, atol=2e-3)
+
+
+def test_fused_projection_grads():
+    from sigma_tpu.ops.pallas_scan_g import selective_scan_g_proj
+
+    batch, G, L, dg, N = 2, 2, 64, 24, 4
+    args = _make_proj(batch, G, L, dg, N, seed=10)
+
+    def loss_g(args):
+        u, wdt, wb, wc, A, D, bias = args
+        y = selective_scan_g_proj(
+            u, wdt, wb, wc, A, D=D, delta_bias=bias, delta_softplus=True,
+            block_t=32,
+        )
+        return (y ** 2).sum()
+
+    def loss_r(args):
+        return (_proj_ref(*args) ** 2).sum()
+
+    gg = jax.grad(loss_g)(args)
+    gr = jax.grad(loss_r)(args)
+    for name, a, b in zip(
+            ["du", "dwdt", "dwb", "dwc", "dA", "dD", "dbias"], gg, gr):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=2e-3, atol=2e-3, err_msg=name
+        )
+
+
+def test_fused_projection_bf16():
+    from sigma_tpu.ops.pallas_scan_g import selective_scan_g_proj
+
+    batch, G, L, dg, N = 2, 2, 64, 24, 4
+    u, wdt, wb, wc, A, D, bias = _make_proj(batch, G, L, dg, N, seed=11)
+    y = selective_scan_g_proj(
+        u.astype(jnp.bfloat16), wdt, wb, wc, A, D=D, delta_bias=bias,
+        delta_softplus=True, block_t=32,
+    )
+    assert y.dtype == jnp.bfloat16
+    y_ref = _proj_ref(u, wdt, wb, wc, A, D, bias)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref), rtol=3e-2, atol=7e-2
+    )
