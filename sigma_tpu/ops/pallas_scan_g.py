@@ -58,6 +58,17 @@ def _hoist_for(g: int, dg: int, n_state: int, unroll: int) -> bool:
     return unroll * 4 * g * n_state * dg <= 2 * 1024 * 1024
 
 
+def _unroll_fwd(g: int, dg: int, n_state: int, T: int) -> int:
+    # fwd-only: large unrolls with INLINE exp/du*B measured fastest
+    # (U=64 no-hoist 7.1ms vs U=16 hoisted 8.7ms at stage-1 shapes —
+    # hoist-buffer VMEM round-trips cost more than they save); the fwd
+    # kernel has no U-sized stash, so U is bounded only by T
+    u = 64
+    while u > 8 and (T % u or u * 4 * g * n_state * dg > 8 * 1024 * 1024):
+        u //= 2
+    return u
+
+
 def _d_eff_blk(d_blk, bias_ref, softplus, has_bias):
     if has_bias:
         d_blk = d_blk + bias_ref[...][:, None, :]
@@ -134,7 +145,9 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         if hoist:
             # hoist exp(d*A) AND the du*B outer product off the sequential
             # chain (both vectorized over U): the per-step dependent work
-            # shrinks to one FMA + the y reduce
+            # shrinks to one FMA + the y reduce. (Deferring the y reduce
+            # to a bulk per-block pass was measured SLOWER — storing h
+            # every step costs more than the in-step reduce saves.)
             a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
             dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
         else:
@@ -338,9 +351,9 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
     N = a3.shape[1]
     nl = L // T
     grid = (batch, nl)
-    un = _unroll_for(G, dg, N)
+    un = _unroll_fwd(G, dg, N, T)
     kernel = functools.partial(
-        _fwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un),
+        _fwd_kernel, T=T, unroll=un, hoist=False,
         reverse=reverse, with_hck=with_hck, proj=proj, **flags
     )
 
