@@ -330,6 +330,12 @@ def _block_t(g: int, dg: int, n_state: int, want: int, L: int) -> int:
     tmax = max(u, min(want, budget // max(per_t, 1)))
     tmax -= tmax % u
     tmax = max(tmax, u)
+    # prefer multiples of 64 dividing L: the fwd kernel's unroll is the
+    # largest power of two dividing T (64 measured fastest), and T=128
+    # measured best overall at stage-1 shapes (bwd is T-insensitive)
+    for t in range(tmax - tmax % 64, 63, -64):
+        if L % t == 0:
+            return t
     for t in range(tmax, u - 1, -u):
         if L % t == 0:
             return t
