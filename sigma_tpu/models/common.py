@@ -150,7 +150,34 @@ def depthwise_conv3x3(features: int, bias: bool = True, name: str | None = None,
     )
 
 
+def _up2x_axis(x, axis):
+    """Exact 2x half-pixel bilinear along one axis: out[2i] = .25*in[i-1] +
+    .75*in[i], out[2i+1] = .75*in[i] + .25*in[i+1] (edge-clamped)."""
+    import jax.lax as lax
+
+    lo = jnp.concatenate(
+        [lax.slice_in_dim(x, 0, 1, axis=axis),
+         lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis)
+    hi = jnp.concatenate(
+        [lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+         lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)],
+        axis)
+    even = 0.75 * x + 0.25 * lo
+    odd = 0.75 * x + 0.25 * hi
+    out = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return out.reshape(shape)
+
+
 def resize_bilinear(x, h: int, w: int):
-    """NHWC bilinear resize, half-pixel centers (torch align_corners=False)."""
-    b, _, _, c = x.shape
+    """NHWC bilinear resize, half-pixel centers (torch align_corners=False).
+
+    The exact-2x case (the decoder's UpsampleExpand / FinalUpsample_X4 hot
+    path) uses a closed-form lerp instead of jax.image.resize — the
+    gather-based lowering costs ~3ms/fwd at the decoder head resolution.
+    """
+    b, ih, iw, c = x.shape
+    if h == 2 * ih and w == 2 * iw:
+        return _up2x_axis(_up2x_axis(x, 1), 2)
     return jax.image.resize(x, (b, h, w, c), method="bilinear")
