@@ -59,6 +59,10 @@ def main(argv=None):
     p.add_argument("--backbone", default=None)
     p.add_argument("--decoder", default=None)
     p.add_argument("--log-dir", default=None)
+    p.add_argument("--override", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="config field override, repeatable; VAL is parsed "
+                        "as a python literal")
     args = p.parse_args(argv)
 
     try:
@@ -92,6 +96,14 @@ def main(argv=None):
     ]:
         if val is not None:
             object.__setattr__(cfg, field, val)
+    import ast
+    for ov in args.override:
+        k, v = ov.split("=", 1)
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass  # keep as string
+        object.__setattr__(cfg, k, v)
     ckpt_dir = cfg.checkpoint_dir or os.path.join(cfg.log_dir, "checkpoint")
 
     logger = get_logger()

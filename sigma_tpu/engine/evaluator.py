@@ -53,8 +53,10 @@ class SlidingEvaluator:
         is_flip: bool = False,
         eval_crop_size: Sequence[int] = (480, 640),
         stride_rate: float = 2 / 3,
+        window_batch: int = 8,
     ):
         self.model = model
+        self.window_batch = window_batch
         self.class_num = num_classes
         self.norm_mean = np.asarray(norm_mean, np.float32)
         self.norm_std = np.asarray(norm_std, np.float32)
@@ -122,10 +124,31 @@ class SlidingEvaluator:
         if self.is_flip:
             rgb = np.stack([rgb, rgb[:, :, ::-1]], axis=1)
             mx = np.stack([mx, mx[:, :, ::-1]], axis=1)
-        scores = np.asarray(
-            self._forward(variables, jnp.asarray(rgb), jnp.asarray(mx))
-        )
-        return scores, margins
+        # Chunk to a fixed max batch: device memory and the jit cache must
+        # stay bounded regardless of the window-grid size (large images /
+        # big scale factors can produce dozens of windows). Remainders are
+        # padded to the chunk size so only two graph shapes ever compile
+        # (1 and `window_batch`).
+        nw = rgb.shape[0]
+        cb = max(1, int(self.window_batch))
+        if nw <= 1:
+            scores = np.asarray(
+                self._forward(variables, jnp.asarray(rgb), jnp.asarray(mx))
+            )
+            return scores, margins
+        outs = []
+        for i in range(0, nw, cb):
+            sub_r, sub_m = rgb[i : i + cb], mx[i : i + cb]
+            pad = cb - sub_r.shape[0]
+            if pad:
+                reps = (pad,) + (1,) * (sub_r.ndim - 1)
+                sub_r = np.concatenate([sub_r, np.tile(sub_r[-1:], reps)])
+                sub_m = np.concatenate([sub_m, np.tile(sub_m[-1:], reps)])
+            sc = np.asarray(
+                self._forward(variables, jnp.asarray(sub_r), jnp.asarray(sub_m))
+            )
+            outs.append(sc[: cb - pad])
+        return np.concatenate(outs), margins
 
     def _score_window(self, variables, img, modal_x, crop_size):
         """normalize + pad + forward; returns (score HWC np, margin)."""

@@ -167,7 +167,11 @@ def segmentation_loss(logits, labels, ignore_index: int = 255):
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # one-hot multiply-reduce instead of take_along_axis: the gather (and
+    # its scatter adjoint) ran at ~1 GiB/s on TPU (52 ms/step at batch 8);
+    # the compare-select-reduce fuses into the softmax region
+    onehot = jax.nn.one_hot(safe_labels, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(valid.sum(), 1)
     return nll.sum() / count

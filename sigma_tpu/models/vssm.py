@@ -163,7 +163,14 @@ class _VSSBlockScanBody(nn.Module):
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
-        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        # `rate` is traced under nn.scan, so DropPath's python rate==0
+        # short-circuit is impossible here; select instead so rate-0 blocks
+        # stay bit-exact with the unrolled fast path (the rng draw is dead
+        # work in that case but does not perturb other blocks' streams —
+        # flax folds rngs by module path, not a global counter).
+        return jnp.where(
+            rate == 0.0, x, jnp.where(mask, x / keep, 0.0)
+        ).astype(x.dtype)
 
     @nn.compact
     def __call__(self, x, dp):

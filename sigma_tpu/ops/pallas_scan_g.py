@@ -37,12 +37,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_UNROLL = 16
+_UNROLL = 8  # bwd chunk size; 8 measured 4% faster than 16 (r3 sweep)
 
 # The Mosaic default scoped-VMEM limit is 16MB but physical VMEM on v5e is
 # far larger; raise the cap so the bwd state stash and double-buffered
 # blocks fit with useful T.
 _VMEM_LIMIT = 56 * 1024 * 1024
+
+# The kernels compute exp(dt*A) as exp2(dt*(A*log2e)): exp2 measured 2480
+# vs exp's 2000 Gop/s on the v5e VPU (experiments/exp_probe.py). Wrappers
+# pre-scale A by _LOG2E; gradient terms that need the TRUE A multiply the
+# scaled operand back by _LN2.
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
 
 
 def _unroll_for(g: int, dg: int, n_state: int) -> int:
@@ -80,7 +87,7 @@ def _d_eff_blk(d_blk, bias_ref, softplus, has_bias):
 def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 *refs,
                 T, unroll, hoist, softplus, has_bias, has_d,
-                reverse=False, with_hck=True, proj=False):
+                reverse=False, with_hck=True, proj=False, ck_every=None):
     if proj:
         # fused-projection mode: d_ref/b_ref/c_ref are the PROJECTION
         # WEIGHTS (G,dg,dg), (G,dg,N), (G,dg,N); dt/B/C are computed on the
@@ -94,14 +101,12 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         y_ref, hck_ref, h_scr = refs
     else:
         y_ref, h_scr = refs
-    il = pl.program_id(1)
+    il = pl.program_id(2)  # grid is (batch, dg-tile, L-block)
 
     @pl.when(il == 0)
     def _():
         h_scr[...] = jnp.zeros_like(h_scr)
 
-    if with_hck:
-        hck_ref[0, 0] = h_scr[...]  # carry INTO this block
     A = a_ref[...]  # (G, N, dg)
     nch = T // unroll
     # reversed scans walk tokens last-to-first WITHIN the physically-laid-out
@@ -148,18 +153,24 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             # shrinks to one FMA + the y reduce. (Deferring the y reduce
             # to a bulk per-block pass was measured SLOWER — storing h
             # every step costs more than the in-step reduce saves.)
-            a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
+            a_blk = jnp.exp2(d_blk[:, :, None, :] * A[:, None, :, :])
             dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
         else:
             b_t = jnp.swapaxes(b_blk, 1, 2)          # (G, N, U)
         ys = [None] * unroll
-        for k in ks:
+        for idx, k in enumerate(ks):
+            if with_hck and idx % ck_every == 0:
+                # per-(bwd-)chunk state checkpoint at the LOGICAL step
+                # i*unroll+idx: the bwd kernel reads these instead of
+                # re-running the whole forward chain — halves its
+                # in-kernel recompute for ~0.4ms/call of HBM traffic
+                hck_ref[0, 0, i * (unroll // ck_every) + idx // ck_every] = h
             ct = c_t[:, :, k : k + 1]
             if hoist:
                 h = a_blk[:, k] * h + dub_blk[:, k]
             else:
                 du = du_blk[:, k, :][:, None, :]
-                a_t = jnp.exp(d_blk[:, k, :][:, None, :] * A)
+                a_t = jnp.exp2(d_blk[:, k, :][:, None, :] * A)
                 h = a_t * h + du * b_t[:, :, k : k + 1]
             ys[k] = jnp.sum(ct * h, axis=1)          # (G, dg)
         y_blk = jnp.stack(ys, axis=1)                # (G, U, dg)
@@ -174,11 +185,25 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
 
 def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 hck_ref, dy_ref,
-                du_ref, dd_ref, dA_ref, dB_ref, dC_ref, dbias_ref, dD_ref,
-                dh_scr, dA_scr, dbias_scr, dD_scr, hstash_scr, hloc_scr,
-                *, T, unroll, hoist, softplus, has_bias, has_d,
-                reverse=False):
-    j = pl.program_id(1)  # logical-reversed block sweep (via index maps)
+                *refs,
+                T, unroll, hoist, softplus, has_bias, has_d,
+                reverse=False, proj=False):
+    if proj:
+        # fused-projection bwd: d_ref/b_ref/c_ref are PROJECTION WEIGHTS
+        # (G,dg,dg)/(G,dg,N)/(G,dg,N). dt/B/C streams are recomputed on the
+        # MXU per block; their cotangents are consumed in-kernel too — the
+        # weight grads (dwdt/dwb/dwc) accumulate into revisited per-batch
+        # output blocks and the dd/dB/dC->du chain runs as MXU dots, so
+        # NONE of the (B,G,L,*) projection streams or their cotangents ever
+        # touch HBM (they cost ~1.1GB of traffic per stage-1 SS2D bwd when
+        # staged through XLA einsums).
+        (du_ref, dA_ref, dwdt_ref, dwb_ref, dwc_ref, dbias_ref, dD_ref,
+         dh_scr, dA_scr, dbias_scr, dD_scr, hloc_scr,
+         d_scr, b_scr, c_scr, dd_scr, db_scr, dc_scr) = refs
+    else:
+        (du_ref, dd_ref, dA_ref, dB_ref, dC_ref, dbias_ref, dD_ref,
+         dh_scr, dA_scr, dbias_scr, dD_scr, hloc_scr) = refs
+    j = pl.program_id(2)  # logical-reversed block sweep (via index maps)
 
     @pl.when(j == 0)
     def _():
@@ -186,9 +211,31 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         dA_scr[...] = jnp.zeros_like(dA_scr)
         dbias_scr[...] = jnp.zeros_like(dbias_scr)
         dD_scr[...] = jnp.zeros_like(dD_scr)
+        if proj:
+            dwdt_ref[...] = jnp.zeros_like(dwdt_ref)
+            dwb_ref[...] = jnp.zeros_like(dwb_ref)
+            dwc_ref[...] = jnp.zeros_like(dwc_ref)
 
-    A = a_ref[...]          # (G, N, dg)
-    h0 = hck_ref[0, 0]      # (G, N, dg) carry INTO this block
+    if proj:
+        G = a_ref.shape[0]
+        u_all = u_ref[0]  # (G, T, dg) io dtype
+        for g in range(G):
+            ug = u_all[g]
+            d_scr[g] = jax.lax.dot_general(
+                ug, d_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            b_scr[g] = jax.lax.dot_general(
+                ug, b_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            c_scr[g] = jax.lax.dot_general(
+                ug, c_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    A = a_ref[...]          # (G, N, dg), pre-scaled by log2(e)
+    A_ln = A * _LN2         # the TRUE (unscaled) A, for gradient terms
     nch = T // unroll
     # logical within-chunk token order (physical slots stay the index)
     ks = list(reversed(range(unroll))) if reverse else list(range(unroll))
@@ -196,41 +243,21 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
     def pchunk(lc):  # logical chunk -> physical chunk
         return nch - 1 - lc if reverse else lc
 
-    # forward recompute storing a state checkpoint every `unroll` steps
-    # (hstash is indexed by LOGICAL chunk)
-    def fwd_body(i, h):
-        hstash_scr[i] = h
-        t0 = pchunk(i) * unroll
-        d_blk = _d_eff_blk(
-            d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32),
-            bias_ref, softplus, has_bias
-        )
-        u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
-        b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
-        du_blk = d_blk * u_blk
-        if hoist:
-            a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
-            dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
-            for k in ks:
-                h = a_blk[:, k] * h + dub_blk[:, k]
-        else:
-            b_t = jnp.swapaxes(b_blk, 1, 2)
-            for k in ks:
-                du = du_blk[:, k, :][:, None, :]
-                a_t = jnp.exp(d_blk[:, k, :][:, None, :] * A)
-                h = a_t * h + du * b_t[:, :, k : k + 1]
-        return h
-
-    jax.lax.fori_loop(0, nch, fwd_body, h0)
+    def ld_dbc(t0):
+        if proj:
+            return (d_scr[:, pl.ds(t0, unroll), :],
+                    b_scr[:, pl.ds(t0, unroll), :],
+                    c_scr[:, pl.ds(t0, unroll), :])
+        return (d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32),
+                b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32),
+                c_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32))
 
     def bwd_body(i, dh):  # dh: (G, N, dg)
         lc = nch - 1 - i
         t0 = pchunk(lc) * unroll
-        d_raw = d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        d_raw, b_blk, c_blk = ld_dbc(t0)
         d_blk = _d_eff_blk(d_raw, bias_ref, softplus, has_bias)
         u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
-        b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
-        c_blk = c_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         dy_blk = dy_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         du_blk = d_blk * u_blk
         b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
@@ -238,19 +265,19 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         if hoist:
             # vectorized-over-U precomputes: everything that does not
             # depend on the dh chain moves off the per-step critical path
-            a_blk = jnp.exp(d_blk[:, :, None, :] * A[:, None, :, :])
+            a_blk = jnp.exp2(d_blk[:, :, None, :] * A[:, None, :, :])
             dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
             cdy_blk = dy_blk[:, :, None, :] * c_blk[:, :, :, None]
             dtb_blk = d_blk[:, :, None, :] * b_blk[:, :, :, None]
             btu_blk = u_blk[:, :, None, :] * b_blk[:, :, :, None]
-        h = hstash_scr[lc]
+        h = hck_ref[0, 0, lc]  # fwd-written carry INTO logical chunk lc
         for k in ks:
             hloc_scr[k] = h
             if hoist:
                 h = a_blk[:, k] * h + dub_blk[:, k]
             else:
                 du = du_blk[:, k, :][:, None, :]
-                a_t = jnp.exp(d_blk[:, k, :][:, None, :] * A)
+                a_t = jnp.exp2(d_blk[:, k, :][:, None, :] * A)
                 h = a_t * h + du * b_t[:, :, k : k + 1]
         dA_acc = jnp.zeros_like(dA_scr[...])
         dus = [None] * unroll
@@ -268,17 +295,17 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 h_t = ahp + dub_blk[:, k]
                 dh = dh + cdy_blk[:, k]
                 dus[k] = jnp.sum(dh * dtb_blk[:, k], axis=1)     # (G, dg)
-                dds[k] = jnp.sum(dh * (A * ahp + btu_blk[:, k]), axis=1)
+                dds[k] = jnp.sum(dh * (A_ln * ahp + btu_blk[:, k]), axis=1)
             else:
                 ut = u_blk[:, k, :][:, None, :]
                 bt = b_t[:, :, k : k + 1]
                 ct = c_t[:, :, k : k + 1]
-                a_t = jnp.exp(dt * A)
+                a_t = jnp.exp2(dt * A)
                 ahp = a_t * h_prev
                 h_t = ahp + du * bt
                 dh = dh + ct * dyt
                 dus[k] = jnp.sum(dh * dt * bt, axis=1)           # (G, dg)
-                dds[k] = jnp.sum(dh * (A * ahp + bt * ut), axis=1)
+                dds[k] = jnp.sum(dh * (A_ln * ahp + bt * ut), axis=1)
             dA_acc = dA_acc + dh * ahp * dt
             dbs[k] = jnp.sum(dh * du, axis=2)                    # (G, N)
             dcs[k] = jnp.sum(h_t * dyt, axis=2)
@@ -299,21 +326,62 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             dd_raw = dd_eff
         if has_bias:
             dbias_scr[...] = dbias_scr[...] + jnp.sum(dd_raw, axis=1)
-        du_ref[0, :, pl.ds(t0, unroll), :] = du_blk_g
-        dd_ref[0, :, pl.ds(t0, unroll), :] = dd_raw
-        dB_ref[0, :, pl.ds(t0, unroll), :] = jnp.stack(dbs, axis=1)
-        dC_ref[0, :, pl.ds(t0, unroll), :] = jnp.stack(dcs, axis=1)
+        du_ref[0, :, pl.ds(t0, unroll), :] = du_blk_g.astype(du_ref.dtype)
+        if proj:
+            dd_scr[:, pl.ds(t0, unroll), :] = dd_raw
+            db_scr[:, pl.ds(t0, unroll), :] = jnp.stack(dbs, axis=1)
+            dc_scr[:, pl.ds(t0, unroll), :] = jnp.stack(dcs, axis=1)
+        else:
+            dd_ref[0, :, pl.ds(t0, unroll), :] = dd_raw.astype(dd_ref.dtype)
+            # dB/dC blocks carry a leading per-dg-tile axis (partials are
+            # summed over tiles in XLA)
+            dB_ref[0, 0, :, pl.ds(t0, unroll), :] = \
+                jnp.stack(dbs, axis=1).astype(dB_ref.dtype)
+            dC_ref[0, 0, :, pl.ds(t0, unroll), :] = \
+                jnp.stack(dcs, axis=1).astype(dC_ref.dtype)
         dA_scr[...] = dA_scr[...] + dA_acc
         return dh
 
     dh = jax.lax.fori_loop(0, T // unroll, bwd_body, dh_scr[...])
     dh_scr[...] = dh
-    dA_ref[0] = dA_scr[...]
+
+    if proj:
+        # weight-grad accumulation + the dd/dB/dC -> du chain, both as MXU
+        # dots over the full T block (operands in io dtype, f32 accumulate
+        # — the MXU's native mode for bf16 streams)
+        io = u_ref.dtype
+        for g in range(a_ref.shape[0]):
+            u_g = u_ref[0, g]                        # (T, dg) io
+            dd_g = dd_scr[g].astype(io)              # (T, dg)
+            db_g = db_scr[g].astype(io)              # (T, N)
+            dc_g = dc_scr[g].astype(io)
+            ct = (((0,), (0,)), ((), ()))            # contract over T
+            dwdt_ref[0, g] += jax.lax.dot_general(
+                u_g, dd_g, ct, preferred_element_type=jnp.float32)
+            dwb_ref[0, g] += jax.lax.dot_general(
+                u_g, db_g, ct, preferred_element_type=jnp.float32)
+            dwc_ref[0, g] += jax.lax.dot_general(
+                u_g, dc_g, ct, preferred_element_type=jnp.float32)
+            cm = (((1,), (1,)), ((), ()))            # contract minor dims
+            chain = jax.lax.dot_general(
+                dd_g, d_ref[g], cm, preferred_element_type=jnp.float32)
+            chain = chain + jax.lax.dot_general(
+                db_g, b_ref[g], cm, preferred_element_type=jnp.float32)
+            chain = chain + jax.lax.dot_general(
+                dc_g, c_ref[g], cm, preferred_element_type=jnp.float32)
+            du_ref[0, g] = (
+                du_ref[0, g].astype(jnp.float32) + chain
+            ).astype(du_ref.dtype)
+    # dA_scr accumulated dh*ahp*dt; the cotangent w.r.t. the SCALED operand
+    # a2 = A*log2e is that times ln2 (wrapper autodiff multiplies back by
+    # log2e, recovering the true dA)
+    dA_ref[0] = dA_scr[...] * _LN2
     dbias_ref[0] = dbias_scr[...]
     dD_ref[0] = dD_scr[...]
 
 
-def _block_t(g: int, dg: int, n_state: int, want: int, L: int) -> int:
+def _block_t(g: int, dg: int, n_state: int, want: int, L: int,
+             proj: bool = False) -> int:
     """Pick T: sized for the bwd VMEM budget, preferring divisors of L so
     no L-padding pass is needed."""
     state = 4 * g * n_state * dg
@@ -323,7 +391,13 @@ def _block_t(g: int, dg: int, n_state: int, want: int, L: int) -> int:
     a_fix = 5 * u * state if hoist else 0
     # dh/dA/dbias/dD carries + hloc stash + hoisted a_blk + slack
     fixed = 2 * state + u * state + a_fix + 6 * 1024 * 1024
-    per_t = 2 * 4 * g * (5 * dg + 4 * n_state) + state // u
+    # per-T streams incl. the double-buffered per-chunk hck input blocks
+    per_t = 2 * 4 * g * (5 * dg + 4 * n_state) + 2 * state // u
+    if proj:
+        # proj bwd: in-VMEM dt/dd (G,T,dg) f32 + B/C/dB/dC (G,T,N) f32
+        # streams, plus the weights and per-batch weight-grad out blocks
+        fixed += 6 * g * dg * dg + 12 * g * dg * n_state
+        per_t += 4 * g * (2 * dg + 4 * n_state)
     # only ~half the limit goes to kernel blocks/scratch: XLA additionally
     # stages custom-call operands/results in VMEM under the raised cap
     budget = _VMEM_LIMIT // 2 - fixed
@@ -348,46 +422,97 @@ def _pallas_params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
+def _plan_g_layout(batch, G, N, dg, L, want, fold_batch):
+    """Choose (fold, dgt, T) for the streamed grouped kernel.
+
+    The recurrence is independent per dg channel, so wide shapes split dg
+    across a grid dim (each tile scans with its own small (G,N,dgt) state)
+    instead of letting T collapse — the round-2 behavior for sigma_base
+    stage 4 (G=2, N=16, dg=2048 folded to 1MB state => T=8). Score is
+    lexicographic: padding-discounted block length capped at the measured
+    T=128 sweet spot, then ILP chains, then tile width (fewer tiles =
+    fewer B/C re-reads). Returns None when no candidate fits VMEM (caller
+    falls back to the per-row kernel).
+    """
+    tiles = [dg] + [t for t in (1024, 896, 768, 640, 512, 384, 256, 128)
+                    if t < dg and dg % t == 0]
+    if fold_batch and batch > 1 and G < 8:
+        folds = [c for c in range(min(batch, 8 // G), 0, -1)
+                 if batch % c == 0]
+    else:
+        folds = [1]
+    best = None
+    for dgt in tiles:
+        for cand in folds:
+            eff_g = cand * G
+            if 4 * eff_g * N * dgt > 1024 * 1024:
+                continue
+            T = _block_t(eff_g, dgt, N, want, L)
+            eff_t = min(T, 128) * L / (L + (-L) % T)
+            key = (eff_t, eff_g, dgt)
+            if best is None or key > best[0]:
+                best = (key, cand, dgt, T)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
 def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
-              with_hck=True, proj=False):
+              with_hck=True, proj=False, dgt=None):
     """proj=False: d/b/c are streamed (B,G,L,dg)/(B,G,L,N) tensors.
     proj=True:  d/b/c are projection weights (G,dg,dg)/(G,dg,N)/(G,dg,N)
-    and dt/B/C are computed on the MXU inside the kernel."""
+    and dt/B/C are computed on the MXU inside the kernel.
+    dgt: dg tile width — the recurrence is independent per dg channel, so
+    wide shapes split dg across the middle grid dim (never with proj)."""
     batch, G, L, dg = u.shape
     N = a3.shape[1]
     nl = L // T
-    grid = (batch, nl)
-    un = _unroll_fwd(G, dg, N, T)
+    dgt = dg if dgt is None else dgt
+    ndg = dg // dgt
+    grid = (batch, ndg, nl)
+    un = _unroll_fwd(G, dgt, N, T)
+    ck = None
+    if with_hck:
+        # checkpoints land at the BWD kernel's chunk granularity; keep the
+        # fwd unroll a multiple of it (both are powers of two dividing T)
+        ck = _unroll_for(G, dgt, N)
+        un = max(un, ck)
     kernel = functools.partial(
         _fwd_kernel, T=T, unroll=un, hoist=False,
-        reverse=reverse, with_hck=with_hck, proj=proj, **flags
+        reverse=reverse, with_hck=with_hck, proj=proj, ck_every=ck, **flags
     )
 
     # reversed scans stream physical blocks last-to-first; y still lands at
     # the physical block, and hck stays indexed by LOGICAL block
-    def blk(b_, j):
+    def blk(b_, k, j):
+        return (b_, 0, nl - 1 - j, k) if reverse else (b_, 0, j, k)
+
+    def blk_n(b_, k, j):  # B/C: no dg axis, re-streamed per dg tile
         return (b_, 0, nl - 1 - j, 0) if reverse else (b_, 0, j, 0)
 
-    out_specs = [pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM)]
+    out_specs = [pl.BlockSpec((1, G, T, dgt), blk, memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((batch, G, L, dg), u.dtype)]
     if with_hck:
-        # per-block state checkpoints, consumed by the bwd kernel; the
-        # inference path skips this output entirely (it is pure HBM write
-        # traffic there — 295MB per stage-1 call at batch 8)
+        # per-(bwd-)chunk state checkpoints, consumed by the bwd kernel;
+        # the inference path skips this output entirely (pure HBM write
+        # traffic there)
+        nck = T // ck
         out_specs.append(
-            pl.BlockSpec((1, 1, G, N, dg), lambda b_, j: (b_, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, nck, G, N, dgt),
+                         lambda b_, k, j: (b_, j, 0, 0, 0, k),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((batch, nl, G, N, dg), jnp.float32)
+            jax.ShapeDtypeStruct((batch, nl, nck, G, N, dg), jnp.float32)
         )
     if proj:
+        assert ndg == 1  # projections contract over full dg
         dbc_specs = [
-            pl.BlockSpec((G, dg, dg), lambda b_, j: (0, 0, 0),
+            pl.BlockSpec((G, dg, dg), lambda b_, k, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, dg, N), lambda b_, j: (0, 0, 0),
+            pl.BlockSpec((G, dg, N), lambda b_, k, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, dg, N), lambda b_, j: (0, 0, 0),
+            pl.BlockSpec((G, dg, N), lambda b_, k, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         extra_scratch = [
@@ -397,29 +522,29 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
         ]
     else:
         dbc_specs = [
-            pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, N), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, dgt), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, N), blk_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, N), blk_n, memory_space=pltpu.VMEM),
         ]
         extra_scratch = []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, G, T, dg), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, dgt), blk, memory_space=pltpu.VMEM),
             dbc_specs[0],
-            pl.BlockSpec((G, N, dg), lambda b_, j: (0, 0, 0),
+            pl.BlockSpec((G, N, dgt), lambda b_, k, j: (0, 0, k),
                          memory_space=pltpu.VMEM),
             dbc_specs[1],
             dbc_specs[2],
-            pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
+            pl.BlockSpec((G, dgt), lambda b_, k, j: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
+            pl.BlockSpec((G, dgt), lambda b_, k, j: (0, k),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((G, N, dg), jnp.float32)] + extra_scratch,
+        scratch_shapes=[pltpu.VMEM((G, N, dgt), jnp.float32)] + extra_scratch,
         cost_estimate=pl.CostEstimate(
             flops=9 * batch * G * L * dg * N,
             bytes_accessed=4 * batch * G * L * (3 * dg + 2 * N),
@@ -432,29 +557,30 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
 )
 def _scan_core_g(u, d, a3, b, c, bias, dk,
-                 T, softplus, has_bias, has_d, interpret, reverse):
+                 T, dgt, softplus, has_bias, has_d, interpret, reverse):
     flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
     y, _ = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse,
-                     with_hck=False)
+                     with_hck=False, dgt=dgt)
     return y
 
 
 def _scan_core_g_fwd(u, d, a3, b, c, bias, dk,
-                     T, softplus, has_bias, has_d, interpret, reverse):
+                     T, dgt, softplus, has_bias, has_d, interpret, reverse):
     flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
-    y, hck = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse)
+    y, hck = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret,
+                       reverse, dgt=dgt)
     return y, (u, d, a3, b, c, bias, dk, hck)
 
 
-def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, reverse,
+def _scan_core_g_bwd(T, dgt, softplus, has_bias, has_d, interpret, reverse,
                      res, dy):
     u, d, a3, b, c, bias, dk, hck = res
     du, dd, dA, dBt, dCt, dbias, dD = _bwd_call(
         u, d, a3, b, c, bias, dk, hck, dy,
-        T, softplus, has_bias, has_d, interpret, reverse,
+        T, softplus, has_bias, has_d, interpret, reverse, dgt=dgt,
     )
     # cotangents must match primal operand dtypes (bf16 streams)
     return (du.astype(u.dtype), dd.astype(d.dtype), dA,
@@ -462,73 +588,145 @@ def _scan_core_g_bwd(T, softplus, has_bias, has_d, interpret, reverse,
 
 
 def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
-              T, softplus, has_bias, has_d, interpret, reverse):
-    """Shared bwd pallas_call; returns raw fp32 cotangents."""
+              T, softplus, has_bias, has_d, interpret, reverse,
+              proj=False, dgt=None):
+    """Shared bwd pallas_call.
+
+    proj=False: d/b/c are streamed tensors; returns
+    (du, dd, dA, dB, dC, dbias, dD) with stream cotangents in the stream
+    io dtype and the rest fp32. Wide shapes tile dg (dgt) across the
+    middle grid dim; dB/dC come back as per-tile partials summed here.
+    proj=True: d/b/c are projection weights (G,dg,dg)/(G,dg,N)/(G,dg,N);
+    returns (du, dA, dwdt, dwb, dwc, dbias, dD) — the projection streams
+    and their cotangents live entirely in VMEM. Never tiled.
+    """
     batch, G, L, dg = u.shape
     N = a3.shape[1]
     nl = L // T
+    dgt = dg if dgt is None else dgt
+    ndg = dg // dgt
 
     def rev(j):
         return nl - 1 - j
 
-    un = _unroll_for(G, dg, N)
+    un = _unroll_for(G, dgt, N)
     kernel = functools.partial(
-        _bwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un),
+        _bwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dgt, N, un),
         softplus=softplus, has_bias=has_bias, has_d=has_d, reverse=reverse,
+        proj=proj,
     )
     # bwd grid step j handles LOGICAL block nl-1-j; its physical block is
     # j for a reversed scan, nl-1-j for a forward one. hck is logical.
-    def blk3(b_, j):
+    def blk3(b_, k, j):
+        return (b_, 0, j, k) if reverse else (b_, 0, rev(j), k)
+
+    def blk3_n(b_, k, j):  # B/C blocks: no dg axis
         return (b_, 0, j, 0) if reverse else (b_, 0, rev(j), 0)
 
-    big = pl.BlockSpec((1, G, T, dg), blk3, memory_space=pltpu.VMEM)
-    small = pl.BlockSpec((1, G, T, N), blk3, memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((G, dg), lambda b_, j: (0, 0),
+    big = pl.BlockSpec((1, G, T, dgt), blk3, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((1, G, T, N), blk3_n, memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((G, dgt), lambda b_, k, j: (0, k),
                        memory_space=pltpu.VMEM)
-    acc = pl.BlockSpec((1, G, dg), lambda b_, j: (b_, 0, 0),
+    acc = pl.BlockSpec((1, G, dgt), lambda b_, k, j: (b_, 0, k),
                        memory_space=pltpu.VMEM)
+    amat = pl.BlockSpec((G, N, dgt), lambda b_, k, j: (0, 0, k),
+                        memory_space=pltpu.VMEM)
+    hck_spec = pl.BlockSpec((1, 1, T // un, G, N, dgt),
+                            lambda b_, k, j: (b_, rev(j), 0, 0, 0, k),
+                            memory_space=pltpu.VMEM)
+    dA_spec = pl.BlockSpec((1, G, N, dgt), lambda b_, k, j: (b_, 0, 0, k),
+                           memory_space=pltpu.VMEM)
+    base_scratch = [
+        pltpu.VMEM((G, N, dgt), jnp.float32),   # dh carry
+        pltpu.VMEM((G, N, dgt), jnp.float32),   # dA accumulator
+        pltpu.VMEM((G, dgt), jnp.float32),      # dbias accumulator
+        pltpu.VMEM((G, dgt), jnp.float32),      # dD accumulator
+        pltpu.VMEM((un, G, N, dgt), jnp.float32),
+    ]
+
+    if proj:
+        assert ndg == 1
+        wdt_spec = pl.BlockSpec((G, dg, dg), lambda b_, k, j: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        wbc_spec = pl.BlockSpec((G, dg, N), lambda b_, k, j: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        du, dA_b, dwdt_b, dwb_b, dwc_b, dbias_b, dD_b = pl.pallas_call(
+            kernel,
+            grid=(batch, 1, nl),
+            in_specs=[big, wdt_spec, amat, wbc_spec, wbc_spec, vec, vec,
+                      hck_spec, big],
+            out_specs=(
+                big, dA_spec,
+                pl.BlockSpec((1, G, dg, dg),
+                             lambda b_, k, j: (b_, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, dg, N),
+                             lambda b_, k, j: (b_, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, dg, N),
+                             lambda b_, k, j: (b_, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                acc, acc,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((batch, G, L, dg), u.dtype),
+                jax.ShapeDtypeStruct((batch, G, N, dg), jnp.float32),
+                jax.ShapeDtypeStruct((batch, G, dg, dg), jnp.float32),
+                jax.ShapeDtypeStruct((batch, G, dg, N), jnp.float32),
+                jax.ShapeDtypeStruct((batch, G, dg, N), jnp.float32),
+                jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
+                jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
+            ),
+            scratch_shapes=base_scratch + [
+                pltpu.VMEM((G, T, dg), jnp.float32),  # dt stream
+                pltpu.VMEM((G, T, N), jnp.float32),   # B stream
+                pltpu.VMEM((G, T, N), jnp.float32),   # C stream
+                pltpu.VMEM((G, T, dg), jnp.float32),  # dd_raw
+                pltpu.VMEM((G, T, N), jnp.float32),   # dB
+                pltpu.VMEM((G, T, N), jnp.float32),   # dC
+            ],
+            compiler_params=_pallas_params(interpret),
+            interpret=interpret,
+        )(u, d, a3, b, c, bias, dk, hck, dy)
+        return (du, dA_b.sum(axis=0), dwdt_b.sum(axis=0),
+                dwb_b.sum(axis=0), dwc_b.sum(axis=0),
+                dbias_b.sum(axis=0), dD_b.sum(axis=0))
+
+    # dB/dC are reduced over dg, so each dg tile contributes a partial:
+    # emit per-tile and sum in XLA (tiny — tiling only fires on wide-dg
+    # short-L shapes)
+    small_t = pl.BlockSpec(
+        (1, 1, G, T, N),
+        lambda b_, k, j: ((b_, k, 0, j, 0) if reverse
+                          else (b_, k, 0, rev(j), 0)),
+        memory_space=pltpu.VMEM,
+    )
     du, dd, dA_b, dBt, dCt, dbias_b, dD_b = pl.pallas_call(
         kernel,
-        grid=(batch, nl),
+        grid=(batch, ndg, nl),
         in_specs=[
-            big, big,
-            pl.BlockSpec((G, N, dg), lambda b_, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            small, small, vec, vec,
-            pl.BlockSpec((1, 1, G, N, dg),
-                         lambda b_, j: (b_, rev(j), 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            big,
+            big, big, amat, small, small, vec, vec, hck_spec, big,
         ],
         out_specs=(
-            big, big,
-            pl.BlockSpec((1, G, N, dg), lambda b_, j: (b_, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            small, small, acc, acc,
+            big, big, dA_spec, small_t, small_t, acc, acc,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, G, L, dg), jnp.float32),
-            jax.ShapeDtypeStruct((batch, G, L, dg), jnp.float32),
+            jax.ShapeDtypeStruct((batch, G, L, dg), u.dtype),
+            jax.ShapeDtypeStruct((batch, G, L, dg), d.dtype),
             jax.ShapeDtypeStruct((batch, G, N, dg), jnp.float32),
-            jax.ShapeDtypeStruct((batch, G, L, N), jnp.float32),
-            jax.ShapeDtypeStruct((batch, G, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((batch, ndg, G, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((batch, ndg, G, L, N), jnp.float32),
             jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
             jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((G, N, dg), jnp.float32),   # dh carry
-            pltpu.VMEM((G, N, dg), jnp.float32),   # dA accumulator
-            pltpu.VMEM((G, dg), jnp.float32),      # dbias accumulator
-            pltpu.VMEM((G, dg), jnp.float32),      # dD accumulator
-            pltpu.VMEM((T // un, G, N, dg), jnp.float32),
-            pltpu.VMEM((un, G, N, dg), jnp.float32),
-        ],
+        scratch_shapes=base_scratch,
         compiler_params=_pallas_params(interpret),
         interpret=interpret,
     )(u, d, a3, b, c, bias, dk, hck, dy)
 
     dA = dA_b.sum(axis=0)                           # (G, N, dg)
-    return (du, dd, dA, dBt, dCt,
+    return (du, dd, dA, dBt.sum(axis=1).astype(b.dtype),
+            dCt.sum(axis=1).astype(c.dtype),
             dbias_b.sum(axis=0), dD_b.sum(axis=0))
 
 
@@ -557,32 +755,15 @@ def _scan_core_gp_fwd(u, wdt, wb, wc, a3, bias, dk,
 def _scan_core_gp_bwd(T, softplus, has_bias, has_d, interpret, reverse,
                       res, dy):
     u, wdt, wb, wc, a3, bias, dk, hck = res
-    # Recompute the projected streams in XLA for the bwd kernel (the fwd
-    # computed them in-kernel and deliberately did not materialize them);
-    # f32 output matches the kernel dots' preferred_element_type.
-    dts = jnp.einsum("bgld,gde->bgle", u, wdt,
-                     preferred_element_type=jnp.float32)
-    bs = jnp.einsum("bgld,gdn->bgln", u, wb,
-                    preferred_element_type=jnp.float32)
-    cs = jnp.einsum("bgld,gdn->bgln", u, wc,
-                    preferred_element_type=jnp.float32)
-    du_s, dd, dA, dB, dC, dbias, dD = _bwd_call(
-        u, dts, a3, bs, cs, bias, dk, hck, dy,
-        T, softplus, has_bias, has_d, interpret, reverse,
+    # Fully fused bwd: dt/B/C are re-projected on the MXU INSIDE the
+    # kernel, and both the weight grads and the dd/dB/dC->du chain run as
+    # in-kernel dots — no (B,G,L,*) projection stream or stream cotangent
+    # ever touches HBM (staging them through XLA einsums cost ~1.1GB of
+    # HBM traffic per stage-1 SS2D bwd).
+    du, dA, dwdt, dwb, dwc, dbias, dD = _bwd_call(
+        u, wdt, a3, wb, wc, bias, dk, hck, dy,
+        T, softplus, has_bias, has_d, interpret, reverse, proj=True,
     )
-    # chain the projection adjoints (dd/dB/dC are grads w.r.t. the
-    # projected streams; u also feeds the scan directly)
-    du = (du_s
-          + jnp.einsum("bgle,gde->bgld", dd, wdt,
-                       preferred_element_type=jnp.float32)
-          + jnp.einsum("bgln,gdn->bgld", dB, wb,
-                       preferred_element_type=jnp.float32)
-          + jnp.einsum("bgln,gdn->bgld", dC, wc,
-                       preferred_element_type=jnp.float32))
-    uf = u.astype(jnp.float32)
-    dwdt = jnp.einsum("bgld,bgle->gde", uf, dd)
-    dwb = jnp.einsum("bgld,bgln->gdn", uf, dB)
-    dwc = jnp.einsum("bgld,bgln->gdn", uf, dC)
     return (du.astype(u.dtype), dwdt.astype(wdt.dtype),
             dwb.astype(wb.dtype), dwc.astype(wc.dtype), dA, dbias, dD)
 
@@ -614,31 +795,15 @@ def selective_scan_g(
     batch, G, L, dg = u.shape
     N = A.shape[1]
 
+    from sigma_tpu.utils import flops as _flops
+
+    _flops.record_scan(
+        9 * batch * G * L * dg * N
+        + (batch * G * L * dg if D is not None else 0)
+    )
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    # Very wide states (sigma_base stage 4: dg=2048) make the grouped
-    # kernel's (U, G, N, dg) stashes exceed VMEM at any useful T; the
-    # per-row sequential kernel handles those shapes better (state per
-    # row is only (N, dg)).
-    if 4 * G * N * dg > 1536 * 1024:
-        from sigma_tpu.ops.pallas_scan_seq import selective_scan_seq_cl
-
-        if reverse:  # rare path: explicit flips are acceptable here
-            u, delta, B, C = (t[:, :, ::-1] for t in (u, delta, B, C))
-        y = selective_scan_seq_cl(
-            u.reshape(batch * G, L, dg),
-            delta.reshape(batch * G, L, dg),
-            A,
-            B.reshape(batch * G, L, N),
-            C.reshape(batch * G, L, N),
-            D=D.reshape(G, dg) if D is not None else None,
-            delta_bias=delta_bias,
-            delta_softplus=delta_softplus,
-            interpret=interpret,
-        )
-        y = y.reshape(batch, G, L, dg)
-        return y[:, :, ::-1] if reverse else y
 
     # bf16 streams ride through the kernel (converted to fp32 per-block in
     # VMEM — halves the HBM traffic and kills the XLA-side convert passes);
@@ -647,7 +812,7 @@ def selective_scan_g(
     io_dtype = jnp.bfloat16 if dtype_in == jnp.bfloat16 else jnp.float32
     uf = u.astype(io_dtype)
     d_f = delta.astype(io_dtype)
-    a_f = A.astype(jnp.float32)
+    a_f = A.astype(jnp.float32) * _LOG2E  # kernel computes exp2
     b_f = B.astype(io_dtype)
     c_f = C.astype(io_dtype)
     has_bias = delta_bias is not None
@@ -669,18 +834,34 @@ def selective_scan_g(
         c_f = jnp.pad(c_f, ((0, 0), (0, 0), (0, 0), (0, npad)))
         N = N + npad
 
-    # Fold (part of) the batch into G for more ILP chains per grid step.
-    # eff_g ~ 8: wider folds measured ~12% faster fwd-only at stage-1
-    # (experiments/scan_g_tune3) but double the per-step state, which
-    # shrinks T and QUADRUPLES the bwd hck checkpoint (state x L/T) —
-    # enough to OOM training at batch 8. 8 balances both paths.
-    eff_g, fold = G, 1
-    if fold_batch and batch > 1 and G < 8:
-        for cand in range(batch, 1, -1):
-            if batch % cand == 0 and G * cand <= 8 \
-                    and cand * G * N * dg * 4 <= 2 * 1024 * 1024:
-                fold = cand
-                break
+    # Fold (part of) the batch into G for more ILP chains per grid step
+    # (eff_g ~ 8 measured best: wider folds shrink T and quadruple the bwd
+    # hck checkpoint), and tile dg for wide shapes. The planner scores
+    # (fold, dgt, T) jointly against the VMEM model.
+    plan = _plan_g_layout(batch, G, N, dg, L, block_t, fold_batch)
+    if plan is None:
+        # nothing fits the grouped kernel's VMEM model: per-row kernel
+        from sigma_tpu.ops.pallas_scan_seq import selective_scan_seq_cl
+
+        n0 = B.shape[-1]  # original N (pre-sublane-padding)
+        if reverse:  # rare path: explicit flips are acceptable here
+            u, delta, B, C = (t[:, :, ::-1] for t in (u, delta, B, C))
+        y = selective_scan_seq_cl(
+            u.reshape(batch * G, L, dg),
+            delta.reshape(batch * G, L, dg),
+            A,
+            B.reshape(batch * G, L, n0),
+            C.reshape(batch * G, L, n0),
+            D=D.reshape(G, dg) if D is not None else None,
+            delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+            interpret=interpret,
+        )
+        y = y.reshape(batch, G, L, dg)
+        return y[:, :, ::-1] if reverse else y
+
+    fold, dgt, T = plan
+    eff_g = fold * G
     if fold > 1:
         uf = uf.reshape(batch // fold, fold * G, L, dg)
         d_f = d_f.reshape(batch // fold, fold * G, L, dg)
@@ -689,9 +870,7 @@ def selective_scan_g(
         a_f = jnp.tile(a_f, (fold, 1, 1))
         bias_f = jnp.tile(bias_f, (fold, 1))
         dk_f = jnp.tile(dk_f, (fold, 1))
-        eff_g = fold * G
 
-    T = _block_t(eff_g, dg, N, block_t, L)
     pad = (-L) % T
     if pad:
         uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -701,7 +880,8 @@ def selective_scan_g(
 
     y = _scan_core_g(
         uf, d_f, a_f, b_f, c_f, bias_f, dk_f,
-        T, bool(delta_softplus), has_bias, has_d, interpret, bool(reverse),
+        T, dgt, bool(delta_softplus), has_bias, has_d, interpret,
+        bool(reverse),
     )
     if pad:
         y = y[:, :, :L]
@@ -737,9 +917,12 @@ def selective_scan_g_proj(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # wide-state shapes: fall back to the decomposed path (XLA projections
-    # + per-row kernel) — same math, streamed
-    if 4 * G * N * dg > 1536 * 1024:
+    # wide shapes fall back to the decomposed path (XLA projections +
+    # streamed kernel) — same math. Two triggers: wide STATE (the per-chain
+    # (G,N,dg) stashes crush T) and wide dg (the bwd's in-VMEM weights +
+    # (G,dg,dg) f32 weight-grad block scale quadratically with dg; at
+    # dg>=1248 they exceed the VMEM budget even unfolded).
+    if 4 * G * N * dg > 1536 * 1024 or 6 * G * dg * dg > 12 * 1024 * 1024:
         dts = jnp.einsum("bgld,gde->bgle", u, w_dt,
                          preferred_element_type=jnp.float32)
         bs = jnp.einsum("bgld,gdn->bgln", u, w_b,
@@ -752,12 +935,22 @@ def selective_scan_g_proj(
             fold_batch=fold_batch, interpret=interpret, reverse=reverse,
         )
 
+    from sigma_tpu.utils import flops as _flops
+
+    # scan closed form + the in-kernel MXU projections (opaque to the
+    # jaxpr walker; the decomposed fallback above is counted normally)
+    _flops.record_scan(
+        9 * batch * G * L * dg * N
+        + (batch * G * L * dg if D is not None else 0)
+        + 2 * batch * G * L * dg * (dg + 2 * N)
+    )
+
     io_dtype = jnp.bfloat16 if dtype_in == jnp.bfloat16 else jnp.float32
     uf = u.astype(io_dtype)
     wdt_f = w_dt.astype(io_dtype)
     wb_f = w_b.astype(io_dtype)
     wc_f = w_c.astype(io_dtype)
-    a_f = A.astype(jnp.float32)
+    a_f = A.astype(jnp.float32) * _LOG2E  # kernel computes exp2
     has_bias = delta_bias is not None
     has_d = D is not None
     bias_f = (
@@ -782,7 +975,8 @@ def selective_scan_g_proj(
     if fold_batch and batch > 1 and G < 8:
         for cand in range(batch, 1, -1):
             if batch % cand == 0 and G * cand <= 8 \
-                    and cand * G * N * dg * 4 <= 2 * 1024 * 1024:
+                    and cand * G * N * dg * 4 <= 2 * 1024 * 1024 \
+                    and 6 * cand * G * dg * dg <= 12 * 1024 * 1024:
                 fold = cand
                 break
     if fold > 1:
@@ -795,7 +989,7 @@ def selective_scan_g_proj(
         dk_f = jnp.tile(dk_f, (fold, 1))
         eff_g = fold * G
 
-    T = _block_t(eff_g, dg, N, block_t, L)
+    T = _block_t(eff_g, dg, N, block_t, L, proj=True)
     pad = (-L) % T
     if pad:
         uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -196,6 +196,12 @@ def selective_scan_cl(
     (`pallas_scan_seq`), which consumes this layout directly — no
     transposes. Elsewhere it reshapes to the channel-first XLA path.
     """
+    from sigma_tpu.utils import flops as _flops
+
+    _flops.record_scan(
+        9 * u.shape[0] * u.shape[1] * u.shape[2] * A.shape[1]
+        + (u.size if D is not None else 0)
+    )
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":

@@ -37,9 +37,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch with the batch axis sharded over `data`."""
+    """Assemble the (global) device batch from this process's host batch.
+
+    Single-process: device_put with the batch axis sharded over `data`.
+    Multi-process: each process's loader holds only its (B/P, ...) slice
+    of the global batch (loader.py shards by `process_index`), so the
+    global array is assembled with `make_array_from_process_local_data` —
+    a bare device_put against a global-mesh sharding would wrongly treat
+    the local slice as the full global value. Parity: the reference's
+    per-rank batch = global/world_size (dataloader.py:77-80).
+    """
     s = batch_sharding(mesh)
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, s) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(s, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def replicate(mesh: Mesh, tree):

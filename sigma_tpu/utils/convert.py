@@ -86,6 +86,24 @@ def _torch_candidates(flax_path: tuple[str, ...]) -> list[tuple[str, Any]]:
         add(f"{parts[0]}.{tleaf}")
         return out
 
+    if parts[0] == "classifier_norm":
+        # reference classifier: nn.Sequential(norm, permute, avgpool,
+        # flatten, head) => classifier.norm / classifier.head
+        # (vmamba.py:2006-2012)
+        tleaf = "weight" if parts[1] == "scale" else "bias"
+        add(f"classifier.norm.{tleaf}")
+        add(f"norm.{tleaf}")  # published-ckpt name before remap
+        return out
+
+    if parts[0] == "classifier_head":
+        if parts[1] == "kernel":
+            add("classifier.head.weight", t)
+            add("head.weight", t)
+        else:
+            add("classifier.head.bias")
+            add("head.bias")
+        return out
+
     if parts[0].startswith("layers_"):
         seg = parts[0].split("_")
         i = seg[1]

@@ -75,6 +75,95 @@ def xla_flops(fn, *args) -> float:
     return float(stats.get("flops", -1.0))
 
 
+# --- analytic counting ----------------------------------------------------
+#
+# XLA's cost analysis counts EVERY op (elementwise, transposes-as-copies,
+# transcendentals, the scan recurrence fully unrolled per token), giving
+# ~197 GFLOP for sigma_tiny @ 480x640 b8. Conventional "model FLOPs" (the
+# fvcore number the reference reports, and the BASELINE.md bar derivation)
+# count only matmuls/convs at 2*M*K*N plus the selective scan's closed form
+# 9BLDN. `analytic_flops` reproduces that convention: a jaxpr walk summing
+# dot_general/conv FLOPs, plus a tally the scan wrappers feed with the
+# closed form (the scans are opaque pallas_calls in the jaxpr).
+
+_scan_tally: list | None = None
+
+
+def record_scan(flops: int):
+    """Called by the selective-scan wrappers when a tally is active."""
+    if _scan_tally is not None:
+        _scan_tally.append(flops)
+
+
+def _dot_flops(eqn) -> int:
+    dims = eqn.params["dimension_numbers"]
+    (lc, rc), (lb, rb) = dims
+    a, b = eqn.invars[0].aval, eqn.invars[1].aval
+    m = math.prod(
+        [d for i, d in enumerate(a.shape) if i not in set(lc) | set(lb)]
+    )
+    k = math.prod([a.shape[i] for i in lc])
+    batch = math.prod([a.shape[i] for i in lb])
+    n = math.prod(
+        [d for i, d in enumerate(b.shape) if i not in set(rc) | set(rb)]
+    )
+    return 2 * batch * m * k * n
+
+
+def _conv_flops(eqn) -> int:
+    out = eqn.outvars[0].aval
+    rhs = eqn.invars[1].aval
+    dn = eqn.params["dimension_numbers"]
+    groups = eqn.params.get("feature_group_count", 1)
+    kernel_spatial = math.prod(
+        [rhs.shape[i] for i in dn.rhs_spec[2:]]
+    )
+    cin = rhs.shape[dn.rhs_spec[1]]
+    return 2 * math.prod(out.shape) * kernel_spatial * cin
+
+
+def _jaxpr_mm_flops(jaxpr) -> int:
+    total = 0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            total += _dot_flops(eqn)
+        elif prim == "conv_general_dilated":
+            total += _conv_flops(eqn)
+        elif prim == "scan":
+            inner = _jaxpr_mm_flops(eqn.params["jaxpr"].jaxpr)
+            total += inner * eqn.params["length"]
+        elif prim == "while":
+            total += _jaxpr_mm_flops(eqn.params["body_jaxpr"].jaxpr)
+        elif prim == "cond":
+            branches = eqn.params["branches"]
+            total += max(
+                (_jaxpr_mm_flops(b.jaxpr) for b in branches), default=0
+            )
+        else:
+            for k in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                sub = eqn.params.get(k)
+                if sub is not None:
+                    total += _jaxpr_mm_flops(getattr(sub, "jaxpr", sub))
+                    break
+    return total
+
+
+def analytic_flops(fn, *args) -> float:
+    """Conventional model FLOPs: matmul/conv (2MKN) from the jaxpr plus the
+    selective scans' closed form (9BLDN + BDL) tallied by the wrappers.
+    Shape-only (jax.make_jaxpr): no device work."""
+    global _scan_tally
+    _scan_tally = []
+    try:
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        mm = _jaxpr_mm_flops(jaxpr.jaxpr)
+        scans = sum(_scan_tally)
+    finally:
+        _scan_tally = None
+    return float(mm + scans)
+
+
 def model_stats(model, variables, input_hw=(480, 640)) -> dict:
     h, w = input_hw
     rgb = jnp.zeros((1, h, w, 3), jnp.float32)

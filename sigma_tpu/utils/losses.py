@@ -23,7 +23,12 @@ import jax.numpy as jnp
 def _valid_nll(logp, labels, ignore_index, weight=None):
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # one-hot multiply-reduce, not take_along_axis: the TPU gather (and
+    # its scatter adjoint) runs at ~1 GiB/s; this fuses with the softmax
+    nll = -jnp.sum(
+        logp * jax.nn.one_hot(safe, logp.shape[-1], dtype=logp.dtype),
+        axis=-1,
+    )
     if weight is not None:
         w = jnp.asarray(weight)[safe]
         nll = nll * w
@@ -108,7 +113,9 @@ def ohem_cross_entropy(logits, labels, ignore_index: int = 255,
     valid = flat_labels != ignore_index
     safe = jnp.where(valid, flat_labels, 0)
     prob = jax.nn.softmax(flat_logits, axis=-1)
-    true_prob = jnp.take_along_axis(prob, safe[:, None], axis=-1)[:, 0]
+    true_prob = jnp.sum(
+        prob * jax.nn.one_hot(safe, c, dtype=prob.dtype), axis=-1
+    )
     # ignored pixels get prob 1 so they sort last (reference masked_fill)
     true_prob = jnp.where(valid, true_prob, 1.0)
 
@@ -138,6 +145,10 @@ def rce_loss(logits, labels, num_classes: int, ignore_index: int = 255,
     onehot = jnp.clip(onehot, 1e-9, 1.0 - 1e-9)
     log_onehot = jnp.log(onehot)
     max_id = jnp.argmax(logits, axis=-1)
-    nll2 = -jnp.take_along_axis(log_onehot, max_id[..., None], axis=-1)[..., 0]
+    nll2 = -jnp.sum(
+        log_onehot * jax.nn.one_hot(max_id, num_classes,
+                                    dtype=log_onehot.dtype),
+        axis=-1,
+    )
     loss2 = jnp.mean(nll2 * valid.astype(jnp.float32))
     return loss1 + beta * loss2

@@ -1,0 +1,89 @@
+"""Training-loop learning proof: overfit 4 synthetic images to >95% mIoU
+through the REAL train.py main — optimizer masks, LR schedule, device-norm
+path, augmentation, ignore-255 loss, and the sliding evaluator end to end.
+This is the closest available proxy to the reference's dataset mIoU targets
+(/root/reference/README.md:152-174) while no dataset exists in-env.
+
+The label is a per-pixel function of the image (quantized color blocks), so
+it survives the geometric train augmentations and is learnable by the
+segmentation head.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+import cv2
+
+
+def _block_img(rng, h, w, cell=8):
+    """Piecewise-constant color blocks (bilinear-resample friendly)."""
+    gh, gw = h // cell, w // cell
+    grid = rng.integers(0, 2, (gh, gw, 3), dtype=np.uint8) * 255
+    img = np.kron(grid, np.ones((cell, cell, 1), dtype=np.uint8))
+    return img
+
+
+def _label_for(img):
+    # 4 distinct classes out of 9: f(R, G) — pixelwise, aug-equivariant
+    return ((img[:, :, 2] > 127) * 1 + (img[:, :, 1] > 127) * 2).astype(
+        np.uint8
+    )
+
+
+@pytest.fixture(scope="module")
+def overfit_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("overfit")
+    (root / "RGB").mkdir()
+    (root / "Label").mkdir()
+    (root / "Modal").mkdir()
+    rng = np.random.default_rng(42)
+    names = [f"im{i}" for i in range(4)]
+    for n in names:
+        img = _block_img(rng, 32, 32)
+        # BGR on disk (cv2); dataset converts to RGB
+        cv2.imwrite(str(root / "RGB" / f"{n}.png"), img)
+        cv2.imwrite(str(root / "Label" / f"{n}.png"), _label_for(img))
+        cv2.imwrite(str(root / "Modal" / f"{n}.png"), img[:, :, 0])
+    (root / "train2.txt").write_text("\n".join(names) + "\n")
+    (root / "test.txt").write_text("\n".join(names) + "\n")
+    return str(root)
+
+
+@pytest.mark.slow
+def test_overfit_train_miou(overfit_root, tmp_path):
+    import train as train_mod
+
+    log_dir = str(tmp_path / "log")
+    epochs = 60
+    rc = train_mod.main([
+        "-n", "mfnet",
+        "--dataset-path", overfit_root,
+        "--backbone", "sigma_test",
+        "--batch-size", "4",
+        "--epochs", str(epochs),
+        "--lr", "2e-3",
+        "--log-dir", log_dir,
+        "--override", "image_height=32",
+        "--override", "image_width=32",
+        "--override", "eval_crop_size=(32, 32)",
+        "--override", "num_train_imgs=4",
+        "--override", "num_workers=1",
+        "--override", "checkpoint_start_epoch=9999",
+        "--override", "eval_scale_array=(1.0,)",
+        "--override", "warm_up_epoch=2",
+        "--override", "train_scale_array=(0.75, 1.0, 1.25)",
+        # single-device mesh: an 8-way CPU mesh makes each 32x32 step
+        # ~45s (batch-1 shards + collective overhead); learning semantics
+        # are mesh-independent and the mesh path is covered by
+        # test_engine/test_multiprocess
+        "--override", "mesh_shape=(1,)",
+    ])
+    assert not rc
+    val = os.path.join(log_dir, f"val_epoch_{epochs}.log")
+    assert os.path.exists(val)
+    text = open(val).read()
+    miou = float(re.search(r"mIoU ([0-9.]+)", text).group(1))
+    assert miou > 95.0, f"train loop failed to overfit: mIoU={miou}\n{text}"

@@ -269,3 +269,47 @@ def test_fused_projection_bf16():
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(y_ref), rtol=3e-2, atol=7e-2
     )
+
+
+def test_dg_tiled_path():
+    """Wide-dg shapes split dg across the middle grid dim (each tile is an
+    independent scan); fwd + all 7 grads must match the reference. The
+    shape is chosen so _plan_g_layout picks dgt < dg (ndg > 1)."""
+    from sigma_tpu.ops.pallas_scan_g import _plan_g_layout
+
+    batch, G, L, dg, N = 1, 4, 256, 512, 32
+    assert _plan_g_layout(batch, G, N, dg, L, 512, True)[1] < dg
+    args = _make(batch, G, L, dg, N, seed=12)
+
+    def loss_g(args):
+        u, d, A, Bm, Cm, D, bias = args
+        y = selective_scan_g(
+            u, d, A, Bm, Cm, D=D, delta_bias=bias, delta_softplus=True,
+        )
+        return (y ** 2).sum()
+
+    def loss_r(args):
+        return (_ref(*args) ** 2).sum()
+
+    gg = jax.grad(loss_g)(args)
+    gr = jax.grad(loss_r)(args)
+    for name, a, b in zip(["du", "dd", "dA", "dB", "dC", "dD", "dbias"],
+                          gg, gr):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=2e-3, atol=2e-3, err_msg=name
+        )
+
+
+def test_dg_tiled_reverse():
+    batch, G, L, dg, N = 1, 4, 192, 512, 32
+    u, d, A, Bm, Cm, D, bias = _make(batch, G, L, dg, N, seed=13)
+    y = selective_scan_g(
+        u, d, A, Bm, Cm, D=D, delta_bias=bias, delta_softplus=True,
+        reverse=True,
+    )
+    y_ref = _ref(
+        u[:, :, ::-1], d[:, :, ::-1], A, Bm[:, :, ::-1], Cm[:, :, ::-1],
+        D, bias,
+    )[:, :, ::-1]
+    np.testing.assert_allclose(y, y_ref, rtol=6e-4, atol=2e-3)

@@ -319,3 +319,43 @@ def test_scanned_trunk_convert_parity(ref):
         ))
     for a, b, lbl in zip(y_flax, y_torch, "0123"):
         _assert_close(a.transpose(0, 3, 1, 2), b, label=f"stage{lbl}")
+
+
+def test_vssm_classifier_parity(ref, tmp_path):
+    """Full VSSM classifier (reference vmamba.py:1931-2147): torch logits
+    parity at tiny dims AND checkpoint ingest with the head KEPT
+    (classifier.norm/avgpool/head tail, vmamba.py:2006-2012)."""
+    import torch
+
+    from sigma_tpu.models.vssm import VSSMClassifier
+    from sigma_tpu.utils.convert import convert_vmamba_trunk
+
+    depths, dims = (1, 1, 1, 1), (16, 32, 64, 128)
+    tm = ref.vmamba.VSSM(
+        depths=depths, dims=dims, d_state=8, ssm_ratio=2.0,
+        num_classes=10, mlp_ratio=0.0, drop_path_rate=0.0,
+        downsample_version="v1",
+    )
+    tm.eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+
+    fm = VSSMClassifier(
+        num_classes=10, depths=depths, dims=dims, d_state=8,
+        drop_path_rate=0.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = fm.init(jax.random.PRNGKey(1), x)
+    new_params, loaded, missing = convert_vmamba_trunk(
+        variables["params"], sd
+    )
+    assert not missing, missing
+    # the classifier tail must have been consumed from the ckpt
+    assert any(k.startswith("classifier.head") for k in loaded)
+    assert any(k.startswith("classifier.norm") for k in loaded)
+
+    logits = fm.apply({"params": new_params}, x)
+    with torch.no_grad():
+        logits_t = tm(torch.from_numpy(
+            np.asarray(x.transpose(0, 3, 1, 2), np.float32)
+        ))
+    _assert_close(logits, logits_t, label="classifier logits")

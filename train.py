@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--override", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="config field override, repeatable; VAL is parsed "
+                        "as a python literal (smoke/simulation runs)")
     return p.parse_args(argv)
 
 
@@ -111,6 +115,14 @@ def main(argv=None):
             object.__setattr__(cfg, field, val)
     if args.bf16:
         object.__setattr__(cfg, "bf16", True)
+    import ast
+    for ov in args.override:
+        k, v = ov.split("=", 1)
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass  # keep as string
+        object.__setattr__(cfg, k, v)
     if not cfg.checkpoint_dir:
         object.__setattr__(
             cfg, "checkpoint_dir", os.path.join(cfg.log_dir, "checkpoint")
@@ -205,6 +217,7 @@ def main(argv=None):
         )
 
     total_steps = 0
+    trace_active = False
     for epoch in range(start_epoch, cfg.nepochs + 1):
         loader.set_epoch(epoch)
         t_epoch = time.time()
@@ -215,9 +228,11 @@ def main(argv=None):
             if args.profile and epoch == start_epoch:
                 if total_steps == 20:
                     jax.profiler.start_trace(args.profile)
-                elif total_steps == 30:
+                    trace_active = True
+                elif total_steps == 30 and trace_active:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
+                    trace_active = False
                     logger.info("profiler trace written to %s", args.profile)
             batch = shard_batch(mesh, batch)
             state, loss = train_step(state, batch, step_rng)
@@ -241,9 +256,11 @@ def main(argv=None):
                 t_win, steps_win = time.time(), 0
             if args.steps and total_steps >= args.steps:
                 break
-        if args.profile and epoch == start_epoch and 20 <= total_steps < 30:
-            # short run: close the trace at epoch end
+        if trace_active:
+            # run ended (or epoch ended) before the in-loop stop fired
+            jax.block_until_ready(losses[-1])
             jax.profiler.stop_trace()
+            trace_active = False
             logger.info("profiler trace written to %s", args.profile)
         epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         logger.info(
