@@ -16,15 +16,23 @@ path (`/root/reference/engine/evaluator.py:433-559`), including its quirks:
   * eval-time normalization: ImageNet stats for 3-channel modal-x, (0,1)
     for 2-D modal-x (evaluator.py:535-539)
 
-TPU design: every network invocation is padded to a static crop shape, so
-jit compiles once per distinct window shape (typically 1-2 shapes per
-dataset); flip TTA rides the batch axis in the same call instead of a second
-sequential invocation.
+TPU design: the reference round-trips fp32 tensors per window
+(evaluator.py:501-522 — normalize on host, one CUDA call per window, exp
+scores back to numpy). Here the *uint8 scaled image* is shipped to the
+device once per scale and EVERYTHING else — normalization, zero-pad,
+window extraction, flip TTA, exp, window-grid accumulation, margin crop,
+bilinear resize to the original shape, and the cross-scale sum — runs
+on-device; only the final argmax map returns to the host. Per 480x640
+image that is ~6 MB up + ~0.3 MB down instead of ~230 MB of fp32 traffic.
+Every graph is keyed on static geometry, so jit compiles once per distinct
+image/window shape; the expensive model graph sees only the crop shape and
+the (1, window_batch) bucket sizes regardless of grid size (windows are
+chunked and padded to the bucket, keeping device memory and the jit cache
+bounded).
 """
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable, Optional, Sequence
 
@@ -32,7 +40,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sigma_tpu.data.transforms import normalize, pad_image_to_shape
 from sigma_tpu.engine.logger import get_logger
 from sigma_tpu.utils.metrics import compute_score, hist_info
 
@@ -66,177 +73,278 @@ class SlidingEvaluator:
         self.stride_rate = stride_rate
         self._jitted: dict = {}
 
-    # --- device side ---------------------------------------------------
-    def _forward(self, variables, rgb, modal_x):
-        """rgb/modal_x: (nw[, 2], H, W, 3) — optional flip axis 1.
+    # --- device graphs (all cached on static geometry keys) ---------------
+    def _graph(self, key, builder):
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = jax.jit(builder())
+            self._jitted[key] = fn
+        return fn
 
-        Returns exp-scores (nw, H, W, C). All windows of an image/scale ride
-        one batched call (the reference loops one cuda call per window,
-        evaluator.py:501-522; batching is the TPU-friendly shape).
-        """
-        shape = rgb.shape
-        if shape not in self._jitted:
-            model = self.model
-            flip = rgb.ndim == 5
+    def _extract(self, img_shape, x_ndim, pad_hw, margin, spans, wmargin,
+                 bucket):
+        """uint8 scaled image -> normalized, zero-padded crop windows,
+        chunked and edge-padded to `bucket` windows per chunk."""
+        key = ("extract", img_shape, x_ndim, pad_hw, margin, spans, wmargin,
+               bucket)
+        mean = self.norm_mean
+        std = self.norm_std
 
-            def fwd(variables, rgb, modal_x):
-                if flip:
-                    nw = rgb.shape[0]
-                    rgb_ = rgb.reshape((-1,) + rgb.shape[2:])
-                    mx_ = modal_x.reshape((-1,) + modal_x.shape[2:])
-                    logits = model.apply(variables, rgb_, mx_)
-                    logits = logits.reshape((nw, 2) + logits.shape[1:])
-                    logits = logits[:, 0] + logits[:, 1, :, ::-1]
+        def builder():
+            def fn(img_u8, x_u8):
+                rgb = img_u8.astype(jnp.float32) / 255.0
+                rgb = (rgb - mean) / std
+                if x_ndim == 2:
+                    # 2-D modal-x: (0,1) normalization, channel-tripled
+                    # (evaluator.py:536-539)
+                    mx = (x_u8.astype(jnp.float32) / 255.0)[..., None]
+                    mx = jnp.repeat(mx, 3, axis=-1)
                 else:
-                    logits = model.apply(variables, rgb, modal_x)
-                return jnp.exp(logits.astype(jnp.float32))
+                    mx = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+                # zero-pad AFTER normalization (pad value 0 in normalized
+                # space, matching pad_image_to_shape on the normalized img)
+                h, w = img_shape[:2]
+                ph, pw = pad_hw
+                pad = (
+                    (margin[0], ph - h - margin[0]),
+                    (margin[2], pw - w - margin[2]),
+                    (0, 0),
+                )
+                rgb = jnp.pad(rgb, pad)
+                mx = jnp.pad(mx, pad)
+                wr = jnp.stack([rgb[sy:ey, sx:ex] for sy, ey, sx, ex in spans])
+                wx = jnp.stack([mx[sy:ey, sx:ex] for sy, ey, sx, ex in spans])
+                if wmargin != (0, 0, 0, 0):
+                    # grid windows are (crop_w, crop_h)-shaped due to the
+                    # reference's index swap; each is center-padded to at
+                    # least the crop shape before the forward
+                    # (process_image_rgbX, evaluator.py:525-559) — the
+                    # accumulate step crops the margin back off
+                    wpad = (
+                        (0, 0),
+                        (wmargin[0], wmargin[1]),
+                        (wmargin[2], wmargin[3]),
+                        (0, 0),
+                    )
+                    wr = jnp.pad(wr, wpad)
+                    wx = jnp.pad(wx, wpad)
+                # chunk to the bucket size; remainders repeat the last
+                # window (their scores are never accumulated)
+                chunks = []
+                for i in range(0, len(spans), bucket):
+                    cr, cx = wr[i : i + bucket], wx[i : i + bucket]
+                    short = bucket - cr.shape[0]
+                    if short:
+                        reps = (short,) + (1,) * (cr.ndim - 1)
+                        cr = jnp.concatenate([cr, jnp.tile(cr[-1:], reps)])
+                        cx = jnp.concatenate([cx, jnp.tile(cx[-1:], reps)])
+                    chunks.append((cr, cx))
+                return chunks
 
-            self._jitted[shape] = jax.jit(fwd)
-        return self._jitted[shape](variables, rgb, modal_x)
+            return fn
 
-    def _prep_window(self, img, modal_x, crop_size):
-        """normalize + pad one window; returns (rgb HW3, x HW3, margin)."""
-        p_img = normalize(img, self.norm_mean, self.norm_std)
-        if modal_x.ndim == 2:
-            p_x = normalize(modal_x, 0.0, 1.0)
-        else:
-            p_x = normalize(modal_x, self.norm_mean, self.norm_std)
-        p_img, margin = pad_image_to_shape(p_img, crop_size, 0)
-        p_x, _ = pad_image_to_shape(p_x, crop_size, 0)
-        if p_x.ndim == 2:
-            p_x = np.stack([p_x, p_x, p_x], axis=-1)
-        return p_img, p_x, margin
+        return self._graph(key, builder)
 
-    def _score_windows(self, variables, windows, crop_size):
-        """Batch-forward a list of (img, modal_x) windows.
+    def _window_scores(self, bucket, window_hw):
+        """Batched model forward over one chunk of windows; flip TTA rides
+        the batch axis; returns exp(logits) fp32 (the reference's score
+        accumulation domain, evaluator.py:514-520)."""
+        key = ("scores", bucket, window_hw, self.is_flip)
+        model = self.model
+        flip = self.is_flip
 
-        Returns (scores (nw, H, W, C) np, margins list). Flip TTA rides the
-        same device call on an inner axis.
-        """
-        rgbs, mxs, margins = [], [], []
-        for img, modal_x in windows:
-            p_img, p_x, margin = self._prep_window(img, modal_x, crop_size)
-            rgbs.append(p_img)
-            mxs.append(p_x)
-            margins.append(margin)
-        rgb = np.stack(rgbs)
-        mx = np.stack(mxs)
-        if self.is_flip:
-            rgb = np.stack([rgb, rgb[:, :, ::-1]], axis=1)
-            mx = np.stack([mx, mx[:, :, ::-1]], axis=1)
-        # Chunk to a fixed max batch: device memory and the jit cache must
-        # stay bounded regardless of the window-grid size (large images /
-        # big scale factors can produce dozens of windows). Remainders are
-        # padded to the chunk size so only two graph shapes ever compile
-        # (1 and `window_batch`).
-        nw = rgb.shape[0]
-        cb = max(1, int(self.window_batch))
-        if nw <= 1:
-            scores = np.asarray(
-                self._forward(variables, jnp.asarray(rgb), jnp.asarray(mx))
-            )
-            return scores, margins
-        outs = []
-        for i in range(0, nw, cb):
-            sub_r, sub_m = rgb[i : i + cb], mx[i : i + cb]
-            pad = cb - sub_r.shape[0]
-            if pad:
-                reps = (pad,) + (1,) * (sub_r.ndim - 1)
-                sub_r = np.concatenate([sub_r, np.tile(sub_r[-1:], reps)])
-                sub_m = np.concatenate([sub_m, np.tile(sub_m[-1:], reps)])
-            sc = np.asarray(
-                self._forward(variables, jnp.asarray(sub_r), jnp.asarray(sub_m))
-            )
-            outs.append(sc[: cb - pad])
-        return np.concatenate(outs), margins
+        def builder():
+            def fn(variables, wr, wx):
+                if flip:
+                    wr2 = jnp.concatenate([wr, wr[:, :, ::-1]], axis=0)
+                    wx2 = jnp.concatenate([wx, wx[:, :, ::-1]], axis=0)
+                    logits = model.apply(variables, wr2, wx2)
+                    l = logits[:bucket] + logits[bucket:, :, ::-1]
+                else:
+                    l = model.apply(variables, wr, wx)
+                return jnp.exp(l.astype(jnp.float32))
 
-    def _score_window(self, variables, img, modal_x, crop_size):
-        """normalize + pad + forward; returns (score HWC np, margin)."""
-        scores, margins = self._score_windows(
-            variables, [(img, modal_x)], crop_size
-        )
-        return scores[0], margins[0]
+            return fn
+
+        return self._graph(key, builder)
+
+    def _accumulate(self, canvas_hw, spans_chunk, wmargin, first):
+        """Crop each window score back to its span (undoing the per-window
+        center pad) and add it into the per-scale canvas."""
+        key = ("acc", canvas_hw, spans_chunk, wmargin, first)
+        num_classes = self.class_num
+
+        def builder():
+            def fn(*args):
+                if first:
+                    (scores,) = args
+                    canvas = jnp.zeros(
+                        canvas_hw + (num_classes,), jnp.float32
+                    )
+                else:
+                    canvas, scores = args
+                ph, pw = scores.shape[1:3]
+                for i, (sy, ey, sx, ex) in enumerate(spans_chunk):
+                    win = scores[i][
+                        wmargin[0] : ph - wmargin[1],
+                        wmargin[2] : pw - wmargin[3],
+                    ]
+                    canvas = canvas.at[sy:ey, sx:ex].add(win)
+                return canvas
+
+            return fn
+
+        return self._graph(key, builder)
+
+    def _finalize(self, canvas_shape, margin, ori_shape, first_scale):
+        """Margin-crop, bilinear-resize to the original shape (the device
+        analogue of the reference's cv2.resize, evaluator.py:446-449) and
+        add into the cross-scale accumulator."""
+        key = ("fin", canvas_shape, margin, ori_shape, first_scale)
+        num_classes = self.class_num
+
+        def builder():
+            def fn(canvas, *acc):
+                if canvas.ndim == 4:  # whole-image chunk (1, ph, pw, C)
+                    canvas2 = canvas[0]
+                else:
+                    canvas2 = canvas
+                h, w = canvas2.shape[:2]
+                score = canvas2[
+                    margin[0] : h - margin[1], margin[2] : w - margin[3]
+                ]
+                score = jax.image.resize(
+                    score,
+                    (ori_shape[0], ori_shape[1], num_classes),
+                    method="linear",
+                    antialias=False,
+                )
+                return score if first_scale else acc[0] + score
+
+            return fn
+
+        return self._graph(key, builder)
+
+    def _argmax(self, ori_shape):
+        key = ("argmax", ori_shape)
+
+        def builder():
+            def fn(acc):
+                return jnp.argmax(acc, axis=2).astype(jnp.int32)
+
+            return fn
+
+        return self._graph(key, builder)
 
     # --- host-side sliding logic ----------------------------------------
-    def scale_process(self, variables, img, modal_x, ori_shape, crop_size,
-                      stride_rate):
-        new_rows, new_cols = img.shape[:2]
-
-        if new_cols <= crop_size[1] or new_rows <= crop_size[0]:
-            score, margin = self._score_window(variables, img, modal_x, crop_size)
-            score = score[
-                margin[0] : score.shape[0] - margin[1],
-                margin[2] : score.shape[1] - margin[3],
-            ]
-        else:
-            stride = (
-                int(np.ceil(crop_size[0] * stride_rate)),
-                int(np.ceil(crop_size[1] * stride_rate)),
+    def _scale_geometry(self, rows, cols):
+        """Static geometry for one scaled image: (pad_hw, margin, spans,
+        window_padded_hw, wmargin). Reproduces the reference's whole-image
+        OR-branch, the stride/extent index swap, the negative-start window
+        collapse it implies when crop_w > rows (numpy slice semantics,
+        normalized here), and the per-window center pad back to the crop
+        (evaluator.py:457-499, 525-559)."""
+        ch, cw = self.eval_crop_size
+        if cols <= cw or rows <= ch:
+            ph, pw = max(rows, ch), max(cols, cw)
+            pad_h, pad_w = ph - rows, pw - cols
+            margin = (
+                pad_h // 2,
+                pad_h - pad_h // 2,
+                pad_w // 2,
+                pad_w - pad_w // 2,
             )
-            img_pad, margin = pad_image_to_shape(img, crop_size, 0)
-            x_pad, _ = pad_image_to_shape(modal_x, crop_size, 0)
-            pad_rows, pad_cols = img_pad.shape[:2]
-            r_grid = int(np.ceil((pad_rows - crop_size[0]) / stride[0])) + 1
-            c_grid = int(np.ceil((pad_cols - crop_size[1]) / stride[1])) + 1
-            acc = np.zeros((pad_rows, pad_cols, self.class_num), np.float32)
-            spans, windows = [], []
-            for gy in range(r_grid):
-                for gx in range(c_grid):
-                    # NOTE: stride/extent index swap kept from the reference
-                    # (evaluator.py:474-479)
-                    s_x = gx * stride[0]
-                    s_y = gy * stride[1]
-                    e_x = min(s_x + crop_size[0], pad_cols)
-                    e_y = min(s_y + crop_size[1], pad_rows)
-                    s_x = e_x - crop_size[0]
-                    s_y = e_y - crop_size[1]
-                    spans.append((s_y, e_y, s_x, e_x))
-                    windows.append(
-                        (img_pad[s_y:e_y, s_x:e_x], x_pad[s_y:e_y, s_x:e_x])
-                    )
-            # all grid windows in ONE batched device call
-            scores, margins = self._score_windows(
-                variables, windows, crop_size
-            )
-            for (s_y, e_y, s_x, e_x), win, tm in zip(spans, scores, margins):
-                win = win[
-                    tm[0] : win.shape[0] - tm[1],
-                    tm[2] : win.shape[1] - tm[3],
-                ]
-                acc[s_y:e_y, s_x:e_x] += win
-            score = acc[
-                margin[0] : acc.shape[0] - margin[1],
-                margin[2] : acc.shape[1] - margin[3],
-            ]
-
-        return cv2.resize(
-            score, (ori_shape[1], ori_shape[0]), interpolation=cv2.INTER_LINEAR
+            spans = ((0, ph, 0, pw),)
+            return (ph, pw), margin, spans, (ph, pw), (0, 0, 0, 0)
+        stride = (
+            int(np.ceil(ch * self.stride_rate)),
+            int(np.ceil(cw * self.stride_rate)),
         )
+        r_grid = int(np.ceil((rows - ch) / stride[0])) + 1
+        c_grid = int(np.ceil((cols - cw) / stride[1])) + 1
+        spans = []
+        for gy in range(r_grid):
+            for gx in range(c_grid):
+                # NOTE: stride/extent index swap kept from the reference
+                # (evaluator.py:474-479)
+                s_x = gx * stride[0]
+                s_y = gy * stride[1]
+                e_x = min(s_x + ch, cols)
+                e_y = min(s_y + cw, rows)
+                s_x = e_x - ch
+                s_y = e_y - cw
+                # the reference slices numpy with these indices: a negative
+                # start (crop extent exceeding the image) wraps around and
+                # collapses the window — normalize to explicit offsets
+                if s_y < 0:
+                    s_y += rows
+                if s_x < 0:
+                    s_x += cols
+                spans.append((s_y, e_y, s_x, e_x))
+        spans = tuple(spans)
+        wh, ww = spans[0][1] - spans[0][0], spans[0][3] - spans[0][2]
+        pad_h, pad_w = max(0, ch - wh), max(0, cw - ww)
+        wmargin = (
+            pad_h // 2,
+            pad_h - pad_h // 2,
+            pad_w // 2,
+            pad_w - pad_w // 2,
+        )
+        return ((rows, cols), (0, 0, 0, 0), spans,
+                (wh + pad_h, ww + pad_w), wmargin)
+
+    def scale_process(self, variables, img, modal_x, ori_shape, acc,
+                      first_scale):
+        """One scale's score, computed on-device and accumulated into the
+        cross-scale device accumulator `acc`."""
+        rows, cols = img.shape[:2]
+        pad_hw, margin, spans, window_hw, wmargin = self._scale_geometry(
+            rows, cols
+        )
+        bucket = 1 if len(spans) == 1 else max(1, int(self.window_batch))
+
+        extract = self._extract(
+            img.shape, modal_x.ndim, pad_hw, margin, spans, wmargin, bucket
+        )
+        chunks = extract(jnp.asarray(img), jnp.asarray(modal_x))
+        score_fn = self._window_scores(bucket, window_hw)
+
+        canvas = None
+        if len(spans) == 1:
+            canvas = score_fn(variables, *chunks[0])  # (1, ph, pw, C)
+        else:
+            for ci, (cr, cx) in enumerate(chunks):
+                scores = score_fn(variables, cr, cx)
+                chunk_spans = spans[ci * bucket : (ci + 1) * bucket]
+                acc_fn = self._accumulate(
+                    pad_hw, chunk_spans, wmargin, ci == 0
+                )
+                canvas = (
+                    acc_fn(scores) if ci == 0 else acc_fn(canvas, scores)
+                )
+        fin = self._finalize(canvas.shape, margin, ori_shape, first_scale)
+        return fin(canvas) if first_scale else fin(canvas, acc)
 
     def sliding_eval(self, variables, img, modal_x):
-        ori_rows, ori_cols = img.shape[:2]
-        processed = np.zeros((ori_rows, ori_cols, self.class_num), np.float32)
-        for s in self.multi_scales:
+        ori_shape = img.shape[:2]
+        acc = None
+        for si, s in enumerate(self.multi_scales):
             img_s = cv2.resize(
                 img, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
             )
             if modal_x.ndim == 2:
                 x_s = cv2.resize(
-                    modal_x, None, fx=s, fy=s, interpolation=cv2.INTER_NEAREST
+                    modal_x, None, fx=s, fy=s,
+                    interpolation=cv2.INTER_NEAREST,
                 )
             else:
                 x_s = cv2.resize(
                     modal_x, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
                 )
-            processed += self.scale_process(
-                variables,
-                img_s,
-                x_s,
-                (ori_rows, ori_cols),
-                self.eval_crop_size,
-                self.stride_rate,
+            acc = self.scale_process(
+                variables, img_s, x_s, ori_shape, acc, si == 0
             )
-        return processed.argmax(2)
+        return np.asarray(self._argmax(ori_shape)(acc))
 
     # --- dataset loop ----------------------------------------------------
     def run(self, variables, dataset, save_fn: Optional[Callable] = None,

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_UNROLL = 8  # bwd chunk size; 8 measured 4% faster than 16 (r3 sweep)
+_UNROLL = 8  # bwd chunk size; 8 measured best (16 was +0.4ms, r3 sweep)
 
 # The Mosaic default scoped-VMEM limit is 16MB but physical VMEM on v5e is
 # far larger; raise the cap so the bwd state stash and double-buffered
@@ -199,10 +199,11 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         # staged through XLA einsums).
         (du_ref, dA_ref, dwdt_ref, dwb_ref, dwc_ref, dbias_ref, dD_ref,
          dh_scr, dA_scr, dbias_scr, dD_scr, hloc_scr,
-         d_scr, b_scr, c_scr, dd_scr, db_scr, dc_scr) = refs
+         d_scr, b_scr, c_scr, dd_scr, db_scr, dc_scr, *rest) = refs
     else:
         (du_ref, dd_ref, dA_ref, dB_ref, dC_ref, dbias_ref, dD_ref,
-         dh_scr, dA_scr, dbias_scr, dD_scr, hloc_scr) = refs
+         dh_scr, dA_scr, dbias_scr, dD_scr, hloc_scr, *rest) = refs
+    dhp_scr = rest[0] if rest else None  # hoisted path's dh-chain stash
     j = pl.program_id(2)  # logical-reversed block sweep (via index maps)
 
     @pl.when(j == 0)
@@ -262,41 +263,66 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         du_blk = d_blk * u_blk
         b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
         c_t = jnp.swapaxes(c_blk, 1, 2)
-        if hoist:
-            # vectorized-over-U precomputes: everything that does not
-            # depend on the dh chain moves off the per-step critical path
-            a_blk = jnp.exp2(d_blk[:, :, None, :] * A[:, None, :, :])
-            dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
-            cdy_blk = dy_blk[:, :, None, :] * c_blk[:, :, :, None]
-            dtb_blk = d_blk[:, :, None, :] * b_blk[:, :, :, None]
-            btu_blk = u_blk[:, :, None, :] * b_blk[:, :, :, None]
         h = hck_ref[0, 0, lc]  # fwd-written carry INTO logical chunk lc
-        for k in ks:
-            hloc_scr[k] = h
-            if hoist:
-                h = a_blk[:, k] * h + dub_blk[:, k]
-            else:
+        if hoist:
+            # (U, G, *, dg) layouts throughout: the sequential loops slice
+            # the LEADING dim (clean Mosaic layouts) and every gradient
+            # product runs as ONE (U, G, N, dg) tensor op instead of U
+            # small per-step ops — only the two genuinely sequential
+            # recurrences (h fwd, dh bwd) stay in loops, at 1 FMA each
+            d_u = jnp.swapaxes(d_blk, 0, 1)          # (U, G, dg)
+            b_u = jnp.swapaxes(b_blk, 0, 1)          # (U, G, N)
+            a_blk = jnp.exp2(d_u[:, :, None, :] * A[None])  # (U, G, N, dg)
+            dub_blk = jnp.swapaxes(du_blk, 0, 1)[:, :, None, :] \
+                * b_u[:, :, :, None]
+            cdy_blk = jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :] \
+                * jnp.swapaxes(c_blk, 0, 1)[:, :, :, None]
+            for k in ks:
+                hloc_scr[k] = h
+                h = a_blk[k] * h + dub_blk[k]
+            # dh chain: dhp[k] = dh_in + C_k dy_k ; dh_out = a_k * dhp[k]
+            for k in reversed(ks):
+                dhp = dh + cdy_blk[k]
+                dhp_scr[k] = dhp
+                dh = a_blk[k] * dhp
+            dhp_all = dhp_scr[...]                   # (U, G, N, dg)
+            hloc_all = hloc_scr[...]
+            ahp = a_blk * hloc_all
+            h_t = ahp + dub_blk
+            dy_u = jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :]   # (U,G,1,dg)
+            du_u = jnp.swapaxes(du_blk, 0, 1)[:, :, None, :]
+            # shared-factor algebra: du needs sum_N(dhp*dt*B) and ddelta
+            # needs sum_N(dhp*(A*ahp + B*u)) — dt and u are N-independent,
+            # so ONE reduce s1 = sum_N(dhp*B) feeds both (saves two full
+            # (U,G,N,dg) products + one reduce per chunk vs the naive form)
+            s1 = jnp.sum(dhp_all * b_u[:, :, :, None], axis=2)  # (U, G, dg)
+            dus_u = d_u * s1
+            p = dhp_all * ahp
+            dds_u = jnp.sum(A_ln * p, axis=2) \
+                + jnp.swapaxes(u_blk, 0, 1) * s1
+            dA_acc = jnp.sum(p * d_u[:, :, None, :], axis=0)
+            dbs_u = jnp.sum(dhp_all * du_u, axis=3)            # (U, G, N)
+            dcs_u = jnp.sum(h_t * dy_u, axis=3)
+            du_blk_g = jnp.swapaxes(dus_u, 0, 1)               # (G, U, dg)
+            dd_eff = jnp.swapaxes(dds_u, 0, 1)
+            dbs_g = jnp.swapaxes(dbs_u, 0, 1)                  # (G, U, N)
+            dcs_g = jnp.swapaxes(dcs_u, 0, 1)
+        else:
+            for k in ks:
+                hloc_scr[k] = h
                 du = du_blk[:, k, :][:, None, :]
                 a_t = jnp.exp2(d_blk[:, k, :][:, None, :] * A)
                 h = a_t * h + du * b_t[:, :, k : k + 1]
-        dA_acc = jnp.zeros_like(dA_scr[...])
-        dus = [None] * unroll
-        dds = [None] * unroll
-        dbs = [None] * unroll
-        dcs = [None] * unroll
-        for k in reversed(ks):
-            dt = d_blk[:, k, :][:, None, :]
-            du = du_blk[:, k, :][:, None, :]
-            dyt = dy_blk[:, k, :][:, None, :]
-            h_prev = hloc_scr[k]                 # (G, N, dg)
-            if hoist:
-                a_t = a_blk[:, k]
-                ahp = a_t * h_prev
-                h_t = ahp + dub_blk[:, k]
-                dh = dh + cdy_blk[:, k]
-                dus[k] = jnp.sum(dh * dtb_blk[:, k], axis=1)     # (G, dg)
-                dds[k] = jnp.sum(dh * (A_ln * ahp + btu_blk[:, k]), axis=1)
-            else:
+            dA_acc = jnp.zeros_like(dA_scr[...])
+            dus = [None] * unroll
+            dds = [None] * unroll
+            dbs = [None] * unroll
+            dcs = [None] * unroll
+            for k in reversed(ks):
+                dt = d_blk[:, k, :][:, None, :]
+                du = du_blk[:, k, :][:, None, :]
+                dyt = dy_blk[:, k, :][:, None, :]
+                h_prev = hloc_scr[k]                 # (G, N, dg)
                 ut = u_blk[:, k, :][:, None, :]
                 bt = b_t[:, :, k : k + 1]
                 ct = c_t[:, :, k : k + 1]
@@ -306,12 +332,14 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 dh = dh + ct * dyt
                 dus[k] = jnp.sum(dh * dt * bt, axis=1)           # (G, dg)
                 dds[k] = jnp.sum(dh * (A_ln * ahp + bt * ut), axis=1)
-            dA_acc = dA_acc + dh * ahp * dt
-            dbs[k] = jnp.sum(dh * du, axis=2)                    # (G, N)
-            dcs[k] = jnp.sum(h_t * dyt, axis=2)
-            dh = dh * a_t
-        du_blk_g = jnp.stack(dus, axis=1)            # (G, U, dg)
-        dd_eff = jnp.stack(dds, axis=1)
+                dA_acc = dA_acc + dh * ahp * dt
+                dbs[k] = jnp.sum(dh * du, axis=2)                # (G, N)
+                dcs[k] = jnp.sum(h_t * dyt, axis=2)
+                dh = dh * a_t
+            du_blk_g = jnp.stack(dus, axis=1)        # (G, U, dg)
+            dd_eff = jnp.stack(dds, axis=1)
+            dbs_g = jnp.stack(dbs, axis=1)           # (G, U, N)
+            dcs_g = jnp.stack(dcs, axis=1)
         if has_d:
             dk = dk_ref[...][:, None, :]
             du_blk_g = du_blk_g + dy_blk * dk
@@ -329,16 +357,16 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         du_ref[0, :, pl.ds(t0, unroll), :] = du_blk_g.astype(du_ref.dtype)
         if proj:
             dd_scr[:, pl.ds(t0, unroll), :] = dd_raw
-            db_scr[:, pl.ds(t0, unroll), :] = jnp.stack(dbs, axis=1)
-            dc_scr[:, pl.ds(t0, unroll), :] = jnp.stack(dcs, axis=1)
+            db_scr[:, pl.ds(t0, unroll), :] = dbs_g
+            dc_scr[:, pl.ds(t0, unroll), :] = dcs_g
         else:
             dd_ref[0, :, pl.ds(t0, unroll), :] = dd_raw.astype(dd_ref.dtype)
             # dB/dC blocks carry a leading per-dg-tile axis (partials are
             # summed over tiles in XLA)
             dB_ref[0, 0, :, pl.ds(t0, unroll), :] = \
-                jnp.stack(dbs, axis=1).astype(dB_ref.dtype)
+                dbs_g.astype(dB_ref.dtype)
             dC_ref[0, 0, :, pl.ds(t0, unroll), :] = \
-                jnp.stack(dcs, axis=1).astype(dC_ref.dtype)
+                dcs_g.astype(dC_ref.dtype)
         dA_scr[...] = dA_scr[...] + dA_acc
         return dh
 
@@ -387,8 +415,9 @@ def _block_t(g: int, dg: int, n_state: int, want: int, L: int,
     state = 4 * g * n_state * dg
     u = _unroll_for(g, dg, n_state)
     hoist = _hoist_for(g, dg, n_state, u)
-    # hoisted (U, G, N, dg) blocks: exp + du*B in fwd; + c*dy, dt*B, u*B in bwd
-    a_fix = 5 * u * state if hoist else 0
+    # hoisted (U, G, N, dg) values: a/dub/cdy blocks, the dhp stash, and
+    # the bulk-phase temporaries (ahp, h_t, dtb, btu) live together
+    a_fix = 8 * u * state if hoist else 0
     # dh/dA/dbias/dD carries + hloc stash + hoisted a_blk + slack
     fixed = 2 * state + u * state + a_fix + 6 * 1024 * 1024
     # per-T streams incl. the double-buffered per-chunk hck input blocks
@@ -641,8 +670,14 @@ def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
         pltpu.VMEM((G, N, dgt), jnp.float32),   # dA accumulator
         pltpu.VMEM((G, dgt), jnp.float32),      # dbias accumulator
         pltpu.VMEM((G, dgt), jnp.float32),      # dD accumulator
-        pltpu.VMEM((un, G, N, dgt), jnp.float32),
+        pltpu.VMEM((un, G, N, dgt), jnp.float32),  # hloc stash
     ]
+    # the hoisted path additionally stashes the per-step dh-chain values so
+    # every gradient product runs as one bulk (U, G, N, dg) tensor op
+    hoist_scratch = (
+        [pltpu.VMEM((un, G, N, dgt), jnp.float32)]
+        if _hoist_for(G, dgt, N, un) else []
+    )
 
     if proj:
         assert ndg == 1
@@ -684,7 +719,7 @@ def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
                 pltpu.VMEM((G, T, dg), jnp.float32),  # dd_raw
                 pltpu.VMEM((G, T, N), jnp.float32),   # dB
                 pltpu.VMEM((G, T, N), jnp.float32),   # dC
-            ],
+            ] + hoist_scratch,
             compiler_params=_pallas_params(interpret),
             interpret=interpret,
         )(u, d, a3, b, c, bias, dk, hck, dy)
@@ -719,7 +754,7 @@ def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
             jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
             jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
         ),
-        scratch_shapes=base_scratch,
+        scratch_shapes=base_scratch + hoist_scratch,
         compiler_params=_pallas_params(interpret),
         interpret=interpret,
     )(u, d, a3, b, c, bias, dk, hck, dy)

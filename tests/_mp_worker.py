@@ -12,8 +12,11 @@ import os
 import sys
 
 # must be set before jax import; override the pytest conftest's 8-device
-# flag the subprocess may inherit
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# flag the subprocess may inherit. ONE device per process: the multi-process
+# semantics (global-array assembly, allgather, ckpt barrier) are identical,
+# and the SPMD compile is far cheaper — the bench machine can be a single
+# CPU core, where the 2x4-device step compile alone exceeded 15 minutes.
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -29,14 +32,24 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: repeat suite runs skip the expensive
+    # step_fn compile entirely
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "SIGMA_TPU_TEST_CACHE",
+            os.path.expanduser("~/.cache/sigma_tpu_test_xla"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=2,
         process_id=pid,
     )
     assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 8, jax.devices()
-    assert len(jax.local_devices()) == 4
+    assert len(jax.devices()) == 2, jax.devices()
+    assert len(jax.local_devices()) == 1
 
     import train as train_mod
 
@@ -44,7 +57,7 @@ def main():
         "-n", "mfnet",
         "--dataset-path", data_root,
         "--backbone", "sigma_test",
-        "--batch-size", "8",
+        "--batch-size", "2",
         "--epochs", "1",
         "--log-dir", log_dir,
         "--override", "image_height=32",

@@ -71,7 +71,9 @@ def test_two_process_training(synth_root, tmp_path):
         )
         for pid in (0, 1)
     ]
-    timeout = int(os.environ.get("MP_TEST_TIMEOUT", "1800"))
+    # generous: two cold step_fn compiles contend for what may be a single
+    # CPU core; warm (cached) runs finish in a couple of minutes
+    timeout = int(os.environ.get("MP_TEST_TIMEOUT", "2700"))
     try:
         for p in procs:
             p.wait(timeout=timeout)
