@@ -38,6 +38,12 @@ class EncoderDecoder(nn.Module):
     ln_eps: float = LN_EPS
     scan_chunk: int = 128
     deep_supervision: bool = False  # MambaDecoder aux heads (builder.py:102)
+    # rematerialize blocks in the bwd pass: True everywhere, False never,
+    # or an int TOKEN THRESHOLD (H*W) — only blocks at least that large
+    # remat (selective remat: the stride-4 blocks dominate both residual
+    # memory and recompute cost; smaller blocks save residuals and skip
+    # the recompute)
+    remat: Any = True
     dtype: Dtype = jnp.float32
 
     aux_rate: float = 0.4  # aux-head loss weight (builder.py:87,96)
@@ -54,6 +60,7 @@ class EncoderDecoder(nn.Module):
                 **variant,
                 ln_eps=self.ln_eps,
                 scan_chunk=self.scan_chunk,
+                remat=self.remat,
                 dtype=self.dtype,
                 name="backbone",
             )(rgb, modal_x, deterministic=deterministic)
@@ -87,6 +94,7 @@ class EncoderDecoder(nn.Module):
                 ln_eps=self.ln_eps,
                 scan_chunk=self.scan_chunk,
                 deep_supervision=self.deep_supervision,
+                remat=self.remat,
                 dtype=self.dtype,
                 name="decode_head",
             )(feats, deterministic=deterministic)
@@ -155,6 +163,7 @@ def build_model(cfg) -> EncoderDecoder:
         decoder=cfg.decoder,
         decoder_embed_dim=getattr(cfg, "decoder_embed_dim", 512),
         deep_supervision=getattr(cfg, "deep_supervision", False),
+        remat=getattr(cfg, "remat", True),
         dtype=jnp.bfloat16 if getattr(cfg, "bf16", False) else jnp.float32,
     )
 

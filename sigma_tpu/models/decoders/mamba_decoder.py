@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -25,7 +26,7 @@ from sigma_tpu.models.common import (
     resize_bilinear,
     torch_linear_kernel_init,
 )
-from sigma_tpu.models.vssm import CVSSDecoderBlock
+from sigma_tpu.models.vssm import CVSSDecoderBlock, should_remat
 
 Dtype = Any
 
@@ -72,21 +73,138 @@ class UpsampleExpand(nn.Module):
         return nn.LayerNorm(epsilon=self.ln_eps, name="norm")(x)
 
 
+def _cshift(m, dr, dc):
+    """Edge-clamped shift on axes 1 (rows) and 2 (cols); any rank >= 3."""
+    if dr == -1:
+        m = jnp.concatenate([m[:, :1], m[:, :-1]], axis=1)
+    elif dr == 1:
+        m = jnp.concatenate([m[:, 1:], m[:, -1:]], axis=1)
+    if dc == -1:
+        m = jnp.concatenate([m[:, :, :1], m[:, :, :-1]], axis=2)
+    elif dc == 1:
+        m = jnp.concatenate([m[:, :, 1:], m[:, :, -1:]], axis=2)
+    return m
+
+
+def _up2_second_moment(z):
+    """Per-pixel channel mean of (up2x2(z))**2, exactly, WITHOUT building the
+    upsampled tensor: (B, H, W, C) -> (B, 2H, 2W).
+
+    An output pixel of the half-pixel 2x bilinear blends a 2x2 tap window
+    with weights (.75, .25) per axis, so E_c[y^2] expands into channel-mean
+    product maps of clamped-shifted z copies (13 distinct maps); each output
+    phase (a, b) is a fixed linear combination of those maps and their
+    shifts. Edge-clamped shifts reproduce the upsample's edge clamping
+    exactly, including the degenerate corner taps."""
+
+    def mean(a, b):
+        return jnp.mean(
+            a.astype(jnp.float32) * b.astype(jnp.float32), axis=-1
+        )
+
+    m0 = mean(z, z)
+    zs = {
+        (dr, dc): _cshift(z, dr, dc)
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)
+    }
+    mv = {sa: mean(z, zs[(sa, 0)]) for sa in (-1, 1)}
+    mh = {sb: mean(z, zs[(0, sb)]) for sb in (-1, 1)}
+    md = {k: mean(z, zs[k]) for k in ((-1, -1), (-1, 1), (1, -1), (1, 1))}
+    ma = {
+        (sa, sb): mean(zs[(sa, 0)], zs[(0, sb)])
+        for sa in (-1, 1) for sb in (-1, 1)
+    }
+    rows = []
+    for sa in (-1, 1):           # output row phase a=0 -> taps (i, i-1)
+        row = []
+        for sb in (-1, 1):
+            e = (
+                0.31640625 * m0                       # .5625^2
+                + 0.03515625 * _cshift(m0, sa, 0)     # .1875^2
+                + 0.03515625 * _cshift(m0, 0, sb)
+                + 0.00390625 * _cshift(m0, sa, sb)    # .0625^2
+                + 0.2109375 * (mv[sa] + mh[sb])       # 2*.5625*.1875
+                + 0.0703125 * (md[(sa, sb)] + ma[(sa, sb)])
+                + 0.0234375 * (_cshift(mh[sb], sa, 0)
+                               + _cshift(mv[sa], 0, sb))  # 2*.1875*.0625
+            )
+            row.append(e)
+        rows.append(row)
+    top = jnp.stack(rows[0], axis=3)   # (B, H, W, b-phase)
+    bot = jnp.stack(rows[1], axis=3)
+    ph = jnp.stack([top, bot], axis=2)  # (B, H, a, W, b)
+    b_, hh, _, ww, _ = ph.shape
+    return ph.reshape(b_, 2 * hh, 2 * ww)
+
+
+class _LNAffine(nn.Module):
+    """LayerNorm affine params only (path-compatible with nn.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _OutputKernel(nn.Module):
+    """Bias-free classifier kernel (path-compatible with nn.Dense)."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            torch_linear_kernel_init(self.in_dim),
+            (self.in_dim, self.features),
+        ).astype(jnp.float32)
+
+
 class FinalUpsampleX4(nn.Module):
-    """Two (linear + bilinear 2x) stages at constant C, then LN."""
+    """Two (linear + bilinear 2x) stages at constant C, then LN
+    (MambaDecoder.py:76-97) — optionally FUSED with the 1x1 classifier.
+
+    With `w_out`, the head returns logits directly via a statistics-carrying
+    rewrite: the reference LayerNorms a C=96-channel tensor at FULL output
+    resolution then projects C -> num_classes (MambaDecoder.py:217-219).
+    The channel mean and the classifier projection both commute with the
+    (linear) bilinear upsample, LN's affine folds into the projection
+    (W' = diag(gamma) @ W_out), and E[y^2] comes from `_up2_second_moment`
+    at the half resolution — so the full-resolution work collapses from 96
+    channels to num_classes + 3 maps (~10x less HBM traffic at 480x640).
+    The math is exact (flax LN uses the same E[x^2]-mu^2 fast variance);
+    logits match the unfused path to float-reassociation error."""
 
     dim: int
     ln_eps: float = LN_EPS
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, w_out=None):
         b, h, w, _ = x.shape
         x = _dense(self.dim, self.dim, "linear1", self.dtype)(x)
         x = resize_bilinear(x, 2 * h, 2 * w)
-        x = _dense(self.dim, self.dim, "linear2", self.dtype)(x)
-        x = resize_bilinear(x, 4 * h, 4 * w)
-        return nn.LayerNorm(epsilon=self.ln_eps, name="norm")(x)
+        z = _dense(self.dim, self.dim, "linear2", self.dtype)(x)
+        if w_out is None:
+            y = resize_bilinear(z, 4 * h, 4 * w)
+            return nn.LayerNorm(epsilon=self.ln_eps, name="norm")(y)
+        gamma, beta = _LNAffine(self.dim, name="norm")()
+        wp = (gamma[:, None] * w_out).astype(self.dtype)      # (C, nc)
+        wbar = jnp.sum(gamma[:, None] * w_out, axis=0)        # (nc,)
+        bp = beta @ w_out                                     # (nc,)
+        s = resize_bilinear((z @ wp).astype(jnp.float32), 4 * h, 4 * w)
+        mu_z = jnp.mean(z.astype(jnp.float32), axis=-1)       # (B,2h,2w)
+        mu = resize_bilinear(mu_z[..., None], 4 * h, 4 * w)[..., 0]
+        ey2 = _up2_second_moment(z)                           # (B,4h,4w)
+        var = ey2 - mu * mu
+        rs = jax.lax.rsqrt(var + self.ln_eps)
+        logits = rs[..., None] * (s - mu[..., None] * wbar) + bp
+        return logits.astype(self.dtype)
 
 
 class MambaUp(nn.Module):
@@ -102,13 +220,14 @@ class MambaUp(nn.Module):
     scan_chunk: int = 128
     dtype: Dtype = jnp.float32
 
-    remat: bool = True
+    remat: Any = True  # bool | int token threshold (vssm.should_remat)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         block_cls = (
             nn.remat(CVSSDecoderBlock, static_argnums=(2,))
-            if self.remat else CVSSDecoderBlock
+            if should_remat(self.remat, x.shape[1] * x.shape[2])
+            else CVSSDecoderBlock
         )
         for i in range(self.depth):
             x = block_cls(
@@ -145,6 +264,7 @@ class MambaDecoder(nn.Module):
     ln_eps: float = LN_EPS
     scan_chunk: int = 128
     deep_supervision: bool = False
+    remat: Any = True  # bool | int token threshold (vssm.should_remat)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -174,6 +294,7 @@ class MambaDecoder(nn.Module):
                     y = resize_bilinear(y, h, w)
                 x = y + skip
                 y = MambaUp(
+                    remat=self.remat,
                     dim=dim,
                     depth=depths[lvl],
                     drop_path=dpr[sum(depths[:lvl]) : sum(depths[: lvl + 1])],
@@ -193,13 +314,15 @@ class MambaDecoder(nn.Module):
                     )
 
         x = nn.LayerNorm(epsilon=self.ln_eps, name="norm_up")(y)
-        x = FinalUpsampleX4(
+        # 1x1 conv classifier (no bias, MambaDecoder.py:219) FUSED into the
+        # final upsample head — see FinalUpsampleX4; the param tree is
+        # identical to the unfused (up -> LN -> dense) form
+        w_out = _OutputKernel(
+            self.embed_dim, self.num_classes, name="output"
+        )()
+        logits = FinalUpsampleX4(
             dim=self.embed_dim, ln_eps=self.ln_eps, dtype=self.dtype, name="up"
-        )(x)
-        # 1x1 conv classifier, no bias (MambaDecoder.py:219)
-        logits = _dense(
-            self.num_classes, self.embed_dim, "output", self.dtype
-        )(x)
+        )(x, w_out=w_out)
         if not self.deep_supervision:
             return logits
 

@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from sigma_tpu.models.common import LN_EPS
 from sigma_tpu.models.fusion import ConcatMambaFusionBlock, CrossMambaFusionBlock
-from sigma_tpu.models.vssm import VSSMBackbone
+from sigma_tpu.models.vssm import VSSMBackbone, should_remat
 
 Dtype = Any
 
@@ -35,6 +35,7 @@ class SigmaEncoder(nn.Module):
     drop_path_rate: float = 0.2
     ln_eps: float = LN_EPS
     scan_chunk: int = 128
+    remat: Any = True  # bool | int token threshold (vssm.should_remat)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -49,6 +50,7 @@ class SigmaEncoder(nn.Module):
             drop_path_rate=self.drop_path_rate,
             ln_eps=self.ln_eps,
             scan_chunk=self.scan_chunk,
+            remat=self.remat,
             dtype=self.dtype,
             name="vssm",
         )
@@ -57,10 +59,14 @@ class SigmaEncoder(nn.Module):
             jnp.concatenate([x_rgb, x_e], axis=0), deterministic=deterministic
         )
 
-        cromb_cls = nn.remat(CrossMambaFusionBlock, static_argnums=(3,))
-        conmb_cls = nn.remat(ConcatMambaFusionBlock, static_argnums=(3,))
         fused = []
         for i, o in enumerate(outs):
+            if should_remat(self.remat, o.shape[1] * o.shape[2]):
+                cromb_cls = nn.remat(CrossMambaFusionBlock, static_argnums=(3,))
+                conmb_cls = nn.remat(ConcatMambaFusionBlock, static_argnums=(3,))
+            else:
+                cromb_cls = CrossMambaFusionBlock
+                conmb_cls = ConcatMambaFusionBlock
             o_rgb, o_e = o[:b], o[b:]
             o_rgb, o_e = cromb_cls(
                 hidden_dim=self.dims[i],

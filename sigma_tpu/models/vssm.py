@@ -14,7 +14,7 @@ layout — and the decoder consumes NHWC directly).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -199,6 +199,14 @@ class _VSSBlockScanBody(nn.Module):
         return x, None
 
 
+def should_remat(remat, tokens: int) -> bool:
+    """remat policy: bool passes through; an int is a token-count
+    threshold (remat only the large-L blocks)."""
+    if isinstance(remat, bool):
+        return remat
+    return tokens >= int(remat)
+
+
 def vss_stage_scan(parent_kwargs, depth, drop_paths, remat, name):
     """Build the nn.scan-stacked stage module (length = depth)."""
     body = _VSSBlockScanBody
@@ -341,7 +349,10 @@ class VSSMBackbone(nn.Module):
     ln_eps: float = LN_EPS
     out_indices: Sequence[int] = (0, 1, 2, 3)
     scan_chunk: int = 128
-    remat: bool = True
+    # True: remat every block; False: never; int: remat only blocks whose
+    # token count H*W is >= the threshold (selective remat — the stride-4
+    # stages dominate both residual memory and recompute cost)
+    remat: Union[bool, int] = True
     # stages at least this deep run under nn.scan with stacked params —
     # sigma_small/base's 27-block stage 3 fully unrolled exceeds
     # compile-request size limits and compiles O(depth) slower
@@ -355,10 +366,6 @@ class VSSMBackbone(nn.Module):
         total = sum(depths)
         dpr = np.linspace(0.0, self.drop_path_rate, total)
 
-        block_cls = (
-            nn.remat(VSSBlock, static_argnums=(2,)) if self.remat else VSSBlock
-        )
-
         x = PatchEmbed(
             embed_dim=dims[0],
             patch_size=self.patch_size,
@@ -370,6 +377,11 @@ class VSSMBackbone(nn.Module):
         outs = []
         blk_idx = 0
         for i, depth in enumerate(depths):
+            stage_remat = should_remat(self.remat, x.shape[1] * x.shape[2])
+            block_cls = (
+                nn.remat(VSSBlock, static_argnums=(2,))
+                if stage_remat else VSSBlock
+            )
             if depth >= self.scan_min_depth:
                 stage, dps = vss_stage_scan(
                     dict(
@@ -385,7 +397,7 @@ class VSSMBackbone(nn.Module):
                     ),
                     depth,
                     dpr[blk_idx : blk_idx + depth],
-                    self.remat,
+                    stage_remat,
                     name=f"layers_{i}_scan",
                 )
                 x, _ = stage(x, dps)

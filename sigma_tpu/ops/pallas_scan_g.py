@@ -39,6 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _UNROLL = 8  # bwd chunk size; 8 measured best (16 was +0.4ms, r3 sweep)
 
+# fwd state checkpoints land every _CK_RATIO bwd chunks (32 tokens): the bwd
+# kernel recomputes at most _CK_RATIO-1 sub-chunks to reach a chunk's carry.
+# Quarters the hck tensor — the dominant HBM stream of training (943MB per
+# stage-1 SS2D call at ck=8) — and makes no-remat training residuals fit.
+_CK_RATIO = 1
+
 # The Mosaic default scoped-VMEM limit is 16MB but physical VMEM on v5e is
 # far larger; raise the cap so the bwd state stash and double-buffered
 # blocks fit with useful T.
@@ -57,6 +63,15 @@ def _unroll_for(g: int, dg: int, n_state: int) -> int:
     # so the fixed VMEM cost doesn't crush the block size
     state = 4 * g * n_state * dg
     return _UNROLL if state <= 192 * 1024 else 8
+
+
+def _ck_tokens(g: int, dg: int, n_state: int, T: int) -> int:
+    """Checkpoint interval in tokens: _CK_RATIO bwd chunks, shrunk to a
+    power-of-two divisor of T."""
+    ck = _CK_RATIO * _unroll_for(g, dg, n_state)
+    while ck > 8 and T % ck:
+        ck //= 2
+    return min(ck, T)
 
 
 def _hoist_for(g: int, dg: int, n_state: int, unroll: int) -> bool:
@@ -187,7 +202,7 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 hck_ref, dy_ref,
                 *refs,
                 T, unroll, hoist, softplus, has_bias, has_d,
-                reverse=False, proj=False):
+                reverse=False, proj=False, ck_ratio=1):
     if proj:
         # fused-projection bwd: d_ref/b_ref/c_ref are PROJECTION WEIGHTS
         # (G,dg,dg)/(G,dg,N)/(G,dg,N). dt/B/C streams are recomputed on the
@@ -263,7 +278,29 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         du_blk = d_blk * u_blk
         b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
         c_t = jnp.swapaxes(c_blk, 1, 2)
-        h = hck_ref[0, 0, lc]  # fwd-written carry INTO logical chunk lc
+        # carry INTO logical chunk lc: checkpoints land every ck_ratio
+        # chunks, so recompute the (at most ck_ratio-1 sub-chunk) gap
+        if ck_ratio == 1:
+            h = hck_ref[0, 0, lc]
+        else:
+            base = (lc // ck_ratio) * ck_ratio
+            h0 = hck_ref[0, 0, lc // ck_ratio]
+
+            def pre_body(pj, hh):
+                tp = pchunk(base + pj) * unroll
+                d_raw_p, b_p, _ = ld_dbc(tp)
+                d_p = _d_eff_blk(d_raw_p, bias_ref, softplus, has_bias)
+                u_p = u_ref[0, :, pl.ds(tp, unroll), :].astype(jnp.float32)
+                du_p = d_p * u_p
+                b_tp = jnp.swapaxes(b_p, 1, 2)
+                for k in ks:
+                    a_t = jnp.exp2(d_p[:, k, :][:, None, :] * A)
+                    hh = a_t * hh + (
+                        du_p[:, k, :][:, None, :] * b_tp[:, :, k : k + 1]
+                    )
+                return hh
+
+            h = jax.lax.fori_loop(0, lc - base, pre_body, h0)
         if hoist:
             # (U, G, *, dg) layouts throughout: the sequential loops slice
             # the LEADING dim (clean Mosaic layouts) and every gradient
@@ -502,9 +539,10 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
     un = _unroll_fwd(G, dgt, N, T)
     ck = None
     if with_hck:
-        # checkpoints land at the BWD kernel's chunk granularity; keep the
-        # fwd unroll a multiple of it (both are powers of two dividing T)
-        ck = _unroll_for(G, dgt, N)
+        # checkpoints land every _CK_RATIO bwd chunks (the bwd kernel
+        # recomputes the gap); keep the fwd unroll a multiple of ck (all
+        # powers of two dividing T)
+        ck = _ck_tokens(G, dgt, N, T)
         un = max(un, ck)
     kernel = functools.partial(
         _fwd_kernel, T=T, unroll=un, hoist=False,
@@ -639,10 +677,11 @@ def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
         return nl - 1 - j
 
     un = _unroll_for(G, dgt, N)
+    ck = _ck_tokens(G, dgt, N, T)
     kernel = functools.partial(
         _bwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dgt, N, un),
         softplus=softplus, has_bias=has_bias, has_d=has_d, reverse=reverse,
-        proj=proj,
+        proj=proj, ck_ratio=ck // un,
     )
     # bwd grid step j handles LOGICAL block nl-1-j; its physical block is
     # j for a reversed scan, nl-1-j for a forward one. hck is logical.
@@ -660,7 +699,7 @@ def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
                        memory_space=pltpu.VMEM)
     amat = pl.BlockSpec((G, N, dgt), lambda b_, k, j: (0, 0, k),
                         memory_space=pltpu.VMEM)
-    hck_spec = pl.BlockSpec((1, 1, T // un, G, N, dgt),
+    hck_spec = pl.BlockSpec((1, 1, T // ck, G, N, dgt),
                             lambda b_, k, j: (b_, rev(j), 0, 0, 0, k),
                             memory_space=pltpu.VMEM)
     dA_spec = pl.BlockSpec((1, G, N, dgt), lambda b_, k, j: (b_, 0, 0, k),
@@ -953,11 +992,34 @@ def selective_scan_g_proj(
         interpret = jax.default_backend() != "tpu"
 
     # wide shapes fall back to the decomposed path (XLA projections +
-    # streamed kernel) — same math. Two triggers: wide STATE (the per-chain
-    # (G,N,dg) stashes crush T) and wide dg (the bwd's in-VMEM weights +
-    # (G,dg,dg) f32 weight-grad block scale quadratically with dg; at
-    # dg>=1248 they exceed the VMEM budget even unfolded).
-    if 4 * G * N * dg > 1536 * 1024 or 6 * G * dg * dg > 12 * 1024 * 1024:
+    # streamed kernel) — same math. Triggers: wide STATE (the per-chain
+    # (G,N,dg) stashes crush T), wide dg (the bwd's in-VMEM weights +
+    # (G,dg,dg) f32 weight-grad block scale quadratically with dg), or a
+    # degenerate planned block length (see the joint fold/T planner below —
+    # sigma_base stage 3 at dg=1024 fits the weight budget but only at T=8,
+    # where the streamed kernel's dg-tiling wins).
+    n_planned = N + ((-N) % 8)
+
+    def _plan_proj():
+        best = None
+        folds = [1]
+        if fold_batch and batch > 1 and G < 8:
+            folds = [c for c in range(min(batch, 8 // G), 0, -1)
+                     if batch % c == 0]
+        for cand in folds:
+            if cand * G * n_planned * dg * 4 > 2 * 1024 * 1024:
+                continue
+            if 6 * cand * G * dg * dg > 12 * 1024 * 1024:
+                continue
+            t_c = _block_t(cand * G, dg, n_planned, block_t, L, proj=True)
+            eff_t = min(t_c, 128) * L / (L + (-L) % t_c)
+            key = (eff_t, cand * G)
+            if best is None or key > best[0]:
+                best = (key, cand, t_c)
+        return best
+
+    plan = _plan_proj()
+    if plan is None or (plan[2] < 64 and plan[2] < L):
         dts = jnp.einsum("bgld,gde->bgle", u, w_dt,
                          preferred_element_type=jnp.float32)
         bs = jnp.einsum("bgld,gdn->bgln", u, w_b,
@@ -969,6 +1031,7 @@ def selective_scan_g_proj(
             delta_softplus=delta_softplus, block_t=block_t,
             fold_batch=fold_batch, interpret=interpret, reverse=reverse,
         )
+    fold, T = plan[1], plan[2]
 
     from sigma_tpu.utils import flops as _flops
 
@@ -1006,14 +1069,9 @@ def selective_scan_g_proj(
         wc_f = jnp.pad(wc_f, ((0, 0), (0, 0), (0, npad)))
         N = N + npad
 
-    eff_g, fold = G, 1
-    if fold_batch and batch > 1 and G < 8:
-        for cand in range(batch, 1, -1):
-            if batch % cand == 0 and G * cand <= 8 \
-                    and cand * G * N * dg * 4 <= 2 * 1024 * 1024 \
-                    and 6 * cand * G * dg * dg <= 12 * 1024 * 1024:
-                fold = cand
-                break
+    # fold/T come from the joint planner above (folding batch into G adds
+    # ILP chains but multiplies the in-VMEM weight/weight-grad copies —
+    # scored like _plan_g_layout: block length first, then chains)
     if fold > 1:
         uf = uf.reshape(batch // fold, fold * G, L, dg)
         wdt_f = jnp.tile(wdt_f, (fold, 1, 1))
@@ -1022,9 +1080,7 @@ def selective_scan_g_proj(
         a_f = jnp.tile(a_f, (fold, 1, 1))
         bias_f = jnp.tile(bias_f, (fold, 1))
         dk_f = jnp.tile(dk_f, (fold, 1))
-        eff_g = fold * G
 
-    T = _block_t(eff_g, dg, N, block_t, L, proj=True)
     pad = (-L) % T
     if pad:
         uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -193,3 +193,52 @@ def test_mamba_decoder_deep_supervision():
         segmentation_loss(a, labels) for a in aux
     )
     assert np.isfinite(float(total))
+
+
+def test_fused_final_head_matches_unfused():
+    """The statistics-carrying fused head (upsample+LN+classifier folded,
+    mamba_decoder.FinalUpsampleX4 w_out path) must equal the literal
+    up -> LayerNorm -> dense composition exactly (same param tree, float
+    reassociation error only)."""
+    import jax
+
+    from flax import linen as nn
+
+    from sigma_tpu.models.decoders.mamba_decoder import (
+        FinalUpsampleX4,
+        _OutputKernel,
+    )
+
+    dim, nc = 48, 9
+
+    class Unfused(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = FinalUpsampleX4(dim=dim, name="up")(x)
+            w = _OutputKernel(dim, nc, name="output")()
+            return y @ w
+
+    class Fused(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            w = _OutputKernel(dim, nc, name="output")()
+            return FinalUpsampleX4(dim=dim, name="up")(x, w_out=w)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16, dim)) * 2 + 0.7
+    vu = Unfused().init(jax.random.PRNGKey(1), x)
+    vf = Fused().init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(vu) == jax.tree_util.tree_structure(
+        vf
+    )
+    p = vu["params"]
+    # randomized LN affine makes the fold non-trivial
+    p["up"]["norm"]["scale"] = (
+        jax.random.normal(jax.random.PRNGKey(2), (dim,)) + 1.0
+    )
+    p["up"]["norm"]["bias"] = (
+        jax.random.normal(jax.random.PRNGKey(3), (dim,)) * 0.3
+    )
+    a = Unfused().apply({"params": p}, x)
+    b = Fused().apply({"params": p}, x)
+    err = float(jnp.abs(a - b).max()) / float(jnp.abs(a).max())
+    assert err < 1e-5, err
