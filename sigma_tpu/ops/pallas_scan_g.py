@@ -1094,3 +1094,619 @@ def selective_scan_g_proj(
     if fold > 1:
         y = y.reshape(batch, G, L, dg)
     return y.astype(dtype_in)
+
+
+# ---------------------------------------------------------------------------
+# Image-layout fused SS2D kernel: one pallas_call per SS2D runs BOTH scan
+# directions (dir grid dim, static per-dir bodies) over BOTH physical
+# layouts — row blocks (hw) and column blocks (wh, transposed in VMEM) of
+# the same (B, H, W, dg) image — with dt/B/C projected on the MXU inside.
+# Replaces, per SS2D: the CrossScan u-stack copy, the wh transposes of x
+# and y (and their bwd adjoints), and one of two kernel launches. This is
+# the TPU rewrite of CrossScan/CrossMerge (vmamba.py:80-121) taken to its
+# endpoint: the 4-direction expansion never exists outside VMEM.
+# Feasible when T = H*W/gcd(H,W) fits the VMEM model (the 480x640 ladder's
+# stages 1-3); callers fall back to the stacked-layout path otherwise.
+# ---------------------------------------------------------------------------
+
+
+# the image kernel carries whole-T f32 projection scratches plus double-
+# buffered hck blocks; give it a higher scoped-VMEM cap than the streamed
+# kernels (v5e has 128MB physical VMEM) so the planner can afford fold=2
+_VMEM_LIMIT_IMG = 104 * 1024 * 1024
+
+
+def _img_params(interpret):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_IMG)
+
+
+def _img_bcast(v2, f):
+    """(2, ...) per-layout value -> (2f, ...) per-chain value."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(v2[j], (f,) + v2.shape[1:]) for j in (0, 1)], 0
+    )
+
+
+def _fwd_kernel_img(xh_ref, xw_ref, wdt_ref, a_ref, wb_ref, wc_ref,
+                    bias_ref, dk_ref, *refs,
+                    T, th, tw, unroll, softplus, has_bias, has_d,
+                    with_hck, ck_every):
+    if with_hck:
+        yh_ref, yw_ref, hck_ref, u_scr, h_scr, y_scr, d_scr, b_scr, c_scr \
+            = refs
+    else:
+        yh_ref, yw_ref, u_scr, h_scr, y_scr, d_scr, b_scr, c_scr = refs
+    il = pl.program_id(2)
+    dir_id = pl.program_id(1)
+
+    @pl.when(il == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    f = xh_ref.shape[1]
+    c2 = 2 * f
+    dg = xh_ref.shape[-1]
+    n = a_ref.shape[-2]
+    # chain order: [hw folds..., wh folds...]; wh transposed to scan order
+    u_scr[0:f] = xh_ref[0].reshape(f, T, dg)
+    u_scr[f:c2] = jnp.swapaxes(xw_ref[0], 1, 2).reshape(f, T, dg)
+
+    for g in range(c2):
+        jg = g // f
+        ug = u_scr[g]
+        ct = (((1,), (0,)), ((), ()))
+        d_scr[g] = jax.lax.dot_general(
+            ug, wdt_ref[0, jg], ct, preferred_element_type=jnp.float32)
+        b_scr[g] = jax.lax.dot_general(
+            ug, wb_ref[0, jg], ct, preferred_element_type=jnp.float32)
+        c_scr[g] = jax.lax.dot_general(
+            ug, wc_ref[0, jg], ct, preferred_element_type=jnp.float32)
+
+    A = _img_bcast(a_ref[0], f)                      # (2f, N, dg)
+    bias = _img_bcast(bias_ref[0], f)                # (2f, dg)
+    dkv = _img_bcast(dk_ref[0], f)
+    nch = T // unroll
+
+    def run(reverse):
+        ks = list(reversed(range(unroll))) if reverse else list(range(unroll))
+
+        def body(i, h):
+            t0 = (nch - 1 - i if reverse else i) * unroll
+            d_raw = d_scr[:, pl.ds(t0, unroll), :]
+            b_blk = b_scr[:, pl.ds(t0, unroll), :]
+            c_blk = c_scr[:, pl.ds(t0, unroll), :]
+            d_blk = d_raw + bias[:, None, :] if has_bias else d_raw
+            if softplus:
+                d_blk = jax.nn.softplus(d_blk)
+            u_blk = u_scr[:, pl.ds(t0, unroll), :].astype(jnp.float32)
+            du_blk = d_blk * u_blk
+            c_t = jnp.swapaxes(c_blk, 1, 2)
+            a_blk = jnp.exp2(d_blk[:, :, None, :] * A[:, None, :, :])
+            dub_blk = du_blk[:, :, None, :] * b_blk[:, :, :, None]
+            ys = [None] * unroll
+            for idx, k in enumerate(ks):
+                if with_hck and idx % ck_every == 0:
+                    hck_ref[0, 0, 0,
+                            i * (unroll // ck_every) + idx // ck_every] = h
+                h = a_blk[:, k] * h + dub_blk[:, k]
+                ys[k] = jnp.sum(c_t[:, :, k : k + 1] * h, axis=1)
+            y_blk = jnp.stack(ys, axis=1)
+            if has_d:
+                y_blk = y_blk + dkv[:, None, :] * u_blk
+            y_scr[:, pl.ds(t0, unroll), :] = y_blk.astype(y_scr.dtype)
+            return h
+
+        h_scr[...] = jax.lax.fori_loop(0, nch, body, h_scr[...])
+
+    # static per-direction bodies (in-block token order must be static)
+    @pl.when(dir_id == 0)
+    def _():
+        run(False)
+
+    @pl.when(dir_id == 1)
+    def _():
+        run(True)
+
+    yh_ref[0, 0] = y_scr[0:f].reshape(f, th, xh_ref.shape[3], dg)
+    yw_ref[0, 0] = jnp.swapaxes(
+        y_scr[f:c2].reshape(f, tw, xw_ref.shape[2], dg), 1, 2
+    )
+
+
+def _bwd_kernel_img(xh_ref, xw_ref, wdt_ref, a_ref, wb_ref, wc_ref,
+                    bias_ref, dk_ref, hck_ref, dyh_ref, dyw_ref, *refs,
+                    T, th, tw, unroll, softplus, has_bias, has_d, ck_ratio):
+    (duh_ref, duw_ref, dwdt_ref, dwb_ref, dwc_ref, dA_ref, dbias_ref,
+     dD_ref,
+     u_scr, dy_scr, du_scr, d_scr, b_scr, c_scr, dd_scr, db_scr, dc_scr,
+     dh_scr, dA_scr, dbias_scr, dD_scr, hloc_scr, dhp_scr) = refs
+    j = pl.program_id(2)
+    dir_id = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dA_scr[...] = jnp.zeros_like(dA_scr)
+        dbias_scr[...] = jnp.zeros_like(dbias_scr)
+        dD_scr[...] = jnp.zeros_like(dD_scr)
+        dwdt_ref[...] = jnp.zeros_like(dwdt_ref)
+        dwb_ref[...] = jnp.zeros_like(dwb_ref)
+        dwc_ref[...] = jnp.zeros_like(dwc_ref)
+
+    f = xh_ref.shape[1]
+    c2 = 2 * f
+    dg = xh_ref.shape[-1]
+    u_scr[0:f] = xh_ref[0].reshape(f, T, dg)
+    u_scr[f:c2] = jnp.swapaxes(xw_ref[0], 1, 2).reshape(f, T, dg)
+    dy_scr[0:f] = dyh_ref[0].reshape(f, T, dg)
+    dy_scr[f:c2] = jnp.swapaxes(dyw_ref[0], 1, 2).reshape(f, T, dg)
+
+    for g in range(c2):
+        jg = g // f
+        ug = u_scr[g]
+        ct = (((1,), (0,)), ((), ()))
+        d_scr[g] = jax.lax.dot_general(
+            ug, wdt_ref[0, jg], ct, preferred_element_type=jnp.float32)
+        b_scr[g] = jax.lax.dot_general(
+            ug, wb_ref[0, jg], ct, preferred_element_type=jnp.float32)
+        c_scr[g] = jax.lax.dot_general(
+            ug, wc_ref[0, jg], ct, preferred_element_type=jnp.float32)
+
+    A = _img_bcast(a_ref[0], f)          # (2f, N, dg), pre-scaled log2e
+    A_ln = A * _LN2
+    bias = _img_bcast(bias_ref[0], f)
+    dkv = _img_bcast(dk_ref[0], f)
+    nch = T // unroll
+
+    def d_eff(d_raw):
+        d_blk = d_raw + bias[:, None, :] if has_bias else d_raw
+        return jax.nn.softplus(d_blk) if softplus else d_blk
+
+    def run(reverse):
+        ks = list(reversed(range(unroll))) if reverse else list(range(unroll))
+
+        def pchunk(lc):
+            return nch - 1 - lc if reverse else lc
+
+        def bwd_body(i, dh):
+            lc = nch - 1 - i
+            t0 = pchunk(lc) * unroll
+            d_blk = d_eff(d_scr[:, pl.ds(t0, unroll), :])
+            b_blk = b_scr[:, pl.ds(t0, unroll), :]
+            c_blk = c_scr[:, pl.ds(t0, unroll), :]
+            u_blk = u_scr[:, pl.ds(t0, unroll), :].astype(jnp.float32)
+            dy_blk = dy_scr[:, pl.ds(t0, unroll), :].astype(jnp.float32)
+            du_blk = d_blk * u_blk
+            if ck_ratio == 1:
+                h = hck_ref[0, 0, 0, lc]
+            else:
+                base = (lc // ck_ratio) * ck_ratio
+                h0 = hck_ref[0, 0, 0, lc // ck_ratio]
+
+                def pre_body(pj, hh):
+                    tp = pchunk(base + pj) * unroll
+                    d_p = d_eff(d_scr[:, pl.ds(tp, unroll), :])
+                    u_p = u_scr[:, pl.ds(tp, unroll), :].astype(jnp.float32)
+                    b_tp = jnp.swapaxes(b_scr[:, pl.ds(tp, unroll), :], 1, 2)
+                    du_p = d_p * u_p
+                    for k in ks:
+                        a_t = jnp.exp2(d_p[:, k, :][:, None, :] * A)
+                        hh = a_t * hh + (
+                            du_p[:, k, :][:, None, :] * b_tp[:, :, k : k + 1]
+                        )
+                    return hh
+
+                h = jax.lax.fori_loop(0, lc - base, pre_body, h0)
+            # hoisted (U, 2f, N, dg) layouts; same math as _bwd_kernel
+            d_u = jnp.swapaxes(d_blk, 0, 1)
+            b_u = jnp.swapaxes(b_blk, 0, 1)
+            a_blk = jnp.exp2(d_u[:, :, None, :] * A[None])
+            dub_blk = jnp.swapaxes(du_blk, 0, 1)[:, :, None, :] \
+                * b_u[:, :, :, None]
+            cdy_blk = jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :] \
+                * jnp.swapaxes(c_blk, 0, 1)[:, :, :, None]
+            for k in ks:
+                hloc_scr[k] = h
+                h = a_blk[k] * h + dub_blk[k]
+            for k in reversed(ks):
+                dhp = dh + cdy_blk[k]
+                dhp_scr[k] = dhp
+                dh = a_blk[k] * dhp
+            dhp_all = dhp_scr[...]
+            hloc_all = hloc_scr[...]
+            ahp = a_blk * hloc_all
+            h_t = ahp + dub_blk
+            dy_u = jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :]
+            du_u = jnp.swapaxes(du_blk, 0, 1)[:, :, None, :]
+            s1 = jnp.sum(dhp_all * b_u[:, :, :, None], axis=2)
+            dus_u = d_u * s1
+            p = dhp_all * ahp
+            dds_u = jnp.sum(A_ln * p, axis=2) + jnp.swapaxes(u_blk, 0, 1) * s1
+            dA_scr[...] = dA_scr[...] + jnp.sum(
+                p * d_u[:, :, None, :], axis=0
+            )
+            dbs_g = jnp.swapaxes(jnp.sum(dhp_all * du_u, axis=3), 0, 1)
+            dcs_g = jnp.swapaxes(jnp.sum(h_t * dy_u, axis=3), 0, 1)
+            du_blk_g = jnp.swapaxes(dus_u, 0, 1)
+            dd_eff = jnp.swapaxes(dds_u, 0, 1)
+            if has_d:
+                du_blk_g = du_blk_g + dy_blk * dkv[:, None, :]
+                dD_scr[...] = dD_scr[...] + jnp.sum(dy_blk * u_blk, axis=1)
+            if softplus:
+                pre = d_scr[:, pl.ds(t0, unroll), :]
+                if has_bias:
+                    pre = pre + bias[:, None, :]
+                dd_raw = dd_eff * jax.nn.sigmoid(pre)
+            else:
+                dd_raw = dd_eff
+            if has_bias:
+                dbias_scr[...] = dbias_scr[...] + jnp.sum(dd_raw, axis=1)
+            du_scr[:, pl.ds(t0, unroll), :] = du_blk_g.astype(du_scr.dtype)
+            dd_scr[:, pl.ds(t0, unroll), :] = dd_raw
+            db_scr[:, pl.ds(t0, unroll), :] = dbs_g
+            dc_scr[:, pl.ds(t0, unroll), :] = dcs_g
+            return dh
+
+        dh_scr[...] = jax.lax.fori_loop(0, nch, bwd_body, dh_scr[...])
+
+    @pl.when(dir_id == 0)
+    def _():
+        run(False)
+
+    @pl.when(dir_id == 1)
+    def _():
+        run(True)
+
+    # weight grads + the dd/dB/dC -> du chain; weights selected per layout
+    io = u_scr.dtype
+    for g in range(c2):
+        jg = g // f
+        u_g = u_scr[g]
+        dd_g = dd_scr[g].astype(io)
+        db_g = db_scr[g].astype(io)
+        dc_g = dc_scr[g].astype(io)
+        ct = (((0,), (0,)), ((), ()))
+        dwdt_ref[0, 0, jg] += jax.lax.dot_general(
+            u_g, dd_g, ct, preferred_element_type=jnp.float32)
+        dwb_ref[0, 0, jg] += jax.lax.dot_general(
+            u_g, db_g, ct, preferred_element_type=jnp.float32)
+        dwc_ref[0, 0, jg] += jax.lax.dot_general(
+            u_g, dc_g, ct, preferred_element_type=jnp.float32)
+        cm = (((1,), (1,)), ((), ()))
+        chain = jax.lax.dot_general(
+            dd_g, wdt_ref[0, jg], cm, preferred_element_type=jnp.float32)
+        chain = chain + jax.lax.dot_general(
+            db_g, wb_ref[0, jg], cm, preferred_element_type=jnp.float32)
+        chain = chain + jax.lax.dot_general(
+            dc_g, wc_ref[0, jg], cm, preferred_element_type=jnp.float32)
+        du_scr[g] = (du_scr[g].astype(jnp.float32) + chain).astype(io)
+    duh_ref[0, 0] = du_scr[0:f].reshape(f, th, xh_ref.shape[3], dg)
+    duw_ref[0, 0] = jnp.swapaxes(
+        du_scr[f:c2].reshape(f, tw, xw_ref.shape[2], dg), 1, 2
+    )
+    # per-layout reductions over the fold chains
+    f32 = jnp.float32
+    dA_ref[0, 0] = (
+        dA_scr[...].reshape(2, f, *dA_scr.shape[1:]).sum(axis=1) * _LN2
+    ).astype(f32)
+    dbias_ref[0, 0] = dbias_scr[...].reshape(2, f, -1).sum(axis=1)
+    dD_ref[0, 0] = dD_scr[...].reshape(2, f, -1).sum(axis=1)
+
+
+def _plan_img(batch, H, W, dg, N, io_bytes):
+    """Geometry + fold + checkpoint interval for the image kernel.
+
+    T tokens must be both `th` whole rows and `tw` whole columns of the
+    image (th*W == tw*H), and Mosaic requires the column blocks' second-
+    minor dim (tw) to be a multiple of 8 — so the base tw = W/gcd is scaled
+    up accordingly. (fold, ck) are chosen jointly under the VMEM model:
+    more fold chains = more ILP, smaller ck = less bwd gap recompute, both
+    cost VMEM. Returns (fold, th, tw, T, ck) or None."""
+    import math as _math
+
+    g = _math.gcd(H, W)
+    th0, tw0 = H // g, W // g
+    m = 8 // _math.gcd(8, tw0)
+    th, tw = m * th0, m * tw0
+    T = th * W
+    L = H * W
+    if T % 32 or L % T or T > L or tw > W or th > H:
+        return None
+    un = 8
+    budget = _VMEM_LIMIT_IMG * 11 // 16
+    best = None
+    for f in (4, 2, 1):
+        if batch % f:
+            continue
+        c2 = 2 * f
+        if not _hoist_for(c2, dg, N, un):
+            continue
+        for ck in (8, 16, 32):
+            if T % ck:
+                continue
+            nck = T // ck
+            vm = (
+                3 * c2 * T * dg * io_bytes      # u / dy / du scratch
+                + 2 * c2 * T * dg * 4           # dt, dd streams (f32)
+                + 4 * c2 * T * N * 4            # B/C/dB/dC streams
+                + 2 * nck * c2 * N * dg * 4     # hck block, double-buffered
+                + 12 * un * c2 * N * dg * 4     # stashes + hoisted temps
+                + 6 * f * T * dg * io_bytes * 2  # x/dy/du image blocks (x2)
+                + 2 * (dg * dg + 2 * dg * N) * io_bytes
+                + 6 * dg * (dg + 2 * N) * 4     # weight-grad out blocks
+                + 4 * 1024 * 1024               # slack
+            )
+            if vm <= budget:
+                # prefer chains (ILP) first, then denser checkpoints
+                key = (f, -ck)
+                if best is None or key > best[0]:
+                    best = (key, (f, th, tw, T, ck))
+                break  # ck ordered ascending: first fit is densest
+    return None if best is None else best[1]
+
+
+def _img_specs(nl, f, th, tw, H, W, dg, N, c2, T, ck, bwd):
+    """BlockSpecs shared by the fwd/bwd image kernels. For the fwd, grid
+    step (b, d, j) touches physical L-block j (dir 0) or nl-1-j (dir 1);
+    the bwd sweeps logically last-to-first, so the physical block flips."""
+
+    if bwd:
+        def phys(d, j):
+            return (nl - 1 - j) + d * (2 * j - (nl - 1))
+    else:
+        def phys(d, j):
+            return j + d * (nl - 1 - 2 * j)
+
+    xh = pl.BlockSpec((1, f, th, W, dg),
+                      lambda b, d, j: (b, 0, phys(d, j), 0, 0),
+                      memory_space=pltpu.VMEM)
+    xw = pl.BlockSpec((1, f, H, tw, dg),
+                      lambda b, d, j: (b, 0, 0, phys(d, j), 0),
+                      memory_space=pltpu.VMEM)
+    yh = pl.BlockSpec((1, 1, f, th, W, dg),
+                      lambda b, d, j: (b, d, 0, phys(d, j), 0, 0),
+                      memory_space=pltpu.VMEM)
+    yw = pl.BlockSpec((1, 1, f, H, tw, dg),
+                      lambda b, d, j: (b, d, 0, 0, phys(d, j), 0),
+                      memory_space=pltpu.VMEM)
+    logical = (lambda b, d, j: (b, d, nl - 1 - j, 0, 0, 0, 0)) if bwd \
+        else (lambda b, d, j: (b, d, j, 0, 0, 0, 0))
+    hck = pl.BlockSpec((1, 1, 1, T // ck, c2, N, dg), logical,
+                       memory_space=pltpu.VMEM)
+    w2 = pl.BlockSpec((1, 2, dg, dg), lambda b, d, j: (d, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    wn = pl.BlockSpec((1, 2, dg, N), lambda b, d, j: (d, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    amat = pl.BlockSpec((1, 2, N, dg), lambda b, d, j: (d, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 2, dg), lambda b, d, j: (d, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return xh, xw, yh, yw, hck, w2, wn, amat, vec
+
+
+def _img_flags(softplus, has_bias, has_d):
+    return dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
+
+
+def _fwd_call_img(x5, wdt, wb, wc, a3, bias, dk, geom, flags, interpret,
+                  with_hck):
+    bprime, f, H, W, dg = x5.shape
+    _, th, tw, T, ck = geom
+    N = a3.shape[-2]
+    c2 = 2 * f
+    L = H * W
+    nl = L // T
+    un = _unroll_fwd(c2, dg, N, T)
+    un = max(un, ck)
+    xh, xw, yh, yw, hck, w2, wn, amat, vec = _img_specs(
+        nl, f, th, tw, H, W, dg, N, c2, T, ck, bwd=False)
+    kernel = functools.partial(
+        _fwd_kernel_img, T=T, th=th, tw=tw, unroll=un,
+        with_hck=with_hck, ck_every=ck, **flags)
+    out_specs = [yh, yw]
+    out_shape = [
+        jax.ShapeDtypeStruct((bprime, 2, f, H, W, dg), x5.dtype),
+        jax.ShapeDtypeStruct((bprime, 2, f, H, W, dg), x5.dtype),
+    ]
+    if with_hck:
+        out_specs.append(hck)
+        out_shape.append(jax.ShapeDtypeStruct(
+            (bprime, 2, nl, T // ck, c2, N, dg), jnp.float32))
+    scratch = [
+        pltpu.VMEM((c2, T, dg), x5.dtype),    # u
+        pltpu.VMEM((c2, N, dg), jnp.float32),  # h carry
+        pltpu.VMEM((c2, T, dg), x5.dtype),    # y
+        pltpu.VMEM((c2, T, dg), jnp.float32),  # dt
+        pltpu.VMEM((c2, T, N), jnp.float32),   # B
+        pltpu.VMEM((c2, T, N), jnp.float32),   # C
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(bprime, 2, nl),
+        in_specs=[xh, xw, w2, amat, wn, wn, vec, vec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=9 * bprime * c2 * L * dg * N
+            + 2 * bprime * c2 * L * dg * (dg + 2 * N),
+            bytes_accessed=4 * bprime * f * L * dg * 4,
+            transcendentals=bprime * c2 * L * dg * N,
+        ),
+        compiler_params=_img_params(interpret),
+        interpret=interpret,
+    )(x5, x5, wdt, a3, wb, wc, bias, dk)
+    if with_hck:
+        return out[0], out[1], out[2]
+    return out[0], out[1], None
+
+
+def _bwd_call_img(x5, wdt, wb, wc, a3, bias, dk, hck, dy5, geom, flags,
+                  interpret):
+    bprime, f, H, W, dg = x5.shape
+    _, th, tw, T, ck = geom
+    N = a3.shape[-2]
+    c2 = 2 * f
+    L = H * W
+    nl = L // T
+    un = _unroll_for(c2, dg, N)
+    xh, xw, yh, yw, hck_s, w2, wn, amat, vec = _img_specs(
+        nl, f, th, tw, H, W, dg, N, c2, T, ck, bwd=True)
+    kernel = functools.partial(
+        _bwd_kernel_img, T=T, th=th, tw=tw, unroll=un,
+        ck_ratio=ck // un, **flags)
+    const6 = lambda shape: pl.BlockSpec(
+        shape, lambda b, d, j: (b, d) + (0,) * (len(shape) - 2),
+        memory_space=pltpu.VMEM)
+    out_specs = (
+        yh, yw,
+        const6((1, 1, 2, dg, dg)),
+        const6((1, 1, 2, dg, N)),
+        const6((1, 1, 2, dg, N)),
+        const6((1, 1, 2, N, dg)),
+        const6((1, 1, 2, dg)),
+        const6((1, 1, 2, dg)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((bprime, 2, f, H, W, dg), x5.dtype),
+        jax.ShapeDtypeStruct((bprime, 2, f, H, W, dg), x5.dtype),
+        jax.ShapeDtypeStruct((bprime, 2, 2, dg, dg), jnp.float32),
+        jax.ShapeDtypeStruct((bprime, 2, 2, dg, N), jnp.float32),
+        jax.ShapeDtypeStruct((bprime, 2, 2, dg, N), jnp.float32),
+        jax.ShapeDtypeStruct((bprime, 2, 2, N, dg), jnp.float32),
+        jax.ShapeDtypeStruct((bprime, 2, 2, dg), jnp.float32),
+        jax.ShapeDtypeStruct((bprime, 2, 2, dg), jnp.float32),
+    )
+    scratch = [
+        pltpu.VMEM((c2, T, dg), x5.dtype),     # u
+        pltpu.VMEM((c2, T, dg), x5.dtype),     # dy
+        pltpu.VMEM((c2, T, dg), x5.dtype),     # du
+        pltpu.VMEM((c2, T, dg), jnp.float32),  # dt
+        pltpu.VMEM((c2, T, N), jnp.float32),   # B
+        pltpu.VMEM((c2, T, N), jnp.float32),   # C
+        pltpu.VMEM((c2, T, dg), jnp.float32),  # dd
+        pltpu.VMEM((c2, T, N), jnp.float32),   # dB
+        pltpu.VMEM((c2, T, N), jnp.float32),   # dC
+        pltpu.VMEM((c2, N, dg), jnp.float32),  # dh carry
+        pltpu.VMEM((c2, N, dg), jnp.float32),  # dA acc
+        pltpu.VMEM((c2, dg), jnp.float32),     # dbias acc
+        pltpu.VMEM((c2, dg), jnp.float32),     # dD acc
+        pltpu.VMEM((un, c2, N, dg), jnp.float32),  # hloc
+        pltpu.VMEM((un, c2, N, dg), jnp.float32),  # dhp
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(bprime, 2, nl),
+        in_specs=[xh, xw, w2, amat, wn, wn, vec, vec, hck_s, xh, xw],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=_img_params(interpret),
+        interpret=interpret,
+    )(x5, x5, wdt, a3, wb, wc, bias, dk, hck, dy5, dy5)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _scan_core_img(x5, wdt, wb, wc, a3, bias, dk,
+                   geom, softplus, has_bias, has_d, interpret):
+    flags = _img_flags(softplus, has_bias, has_d)
+    yh, yw, _ = _fwd_call_img(x5, wdt, wb, wc, a3, bias, dk, geom, flags,
+                              interpret, with_hck=False)
+    return yh.sum(axis=1) + yw.sum(axis=1)
+
+
+def _scan_core_img_fwd(x5, wdt, wb, wc, a3, bias, dk,
+                       geom, softplus, has_bias, has_d, interpret):
+    flags = _img_flags(softplus, has_bias, has_d)
+    yh, yw, hck = _fwd_call_img(x5, wdt, wb, wc, a3, bias, dk, geom, flags,
+                                interpret, with_hck=True)
+    y = yh.sum(axis=1) + yw.sum(axis=1)
+    return y, (x5, wdt, wb, wc, a3, bias, dk, hck)
+
+
+def _scan_core_img_bwd(geom, softplus, has_bias, has_d, interpret, res, dy):
+    x5, wdt, wb, wc, a3, bias, dk, hck = res
+    flags = _img_flags(softplus, has_bias, has_d)
+    (duh, duw, dwdt_b, dwb_b, dwc_b, dA_b, dbias_b, dD_b) = _bwd_call_img(
+        x5, wdt, wb, wc, a3, bias, dk, hck, dy, geom, flags, interpret)
+    du = (duh.sum(axis=1) + duw.sum(axis=1)).astype(x5.dtype)
+    return (du,
+            dwdt_b.sum(axis=0).astype(wdt.dtype),
+            dwb_b.sum(axis=0).astype(wb.dtype),
+            dwc_b.sum(axis=0).astype(wc.dtype),
+            dA_b.sum(axis=0),
+            dbias_b.sum(axis=0),
+            dD_b.sum(axis=0))
+
+
+_scan_core_img.defvjp(_scan_core_img_fwd, _scan_core_img_bwd)
+
+
+def selective_scan_ss2d_proj(
+    x, w_dt, w_b, w_c, A, D=None, delta_bias=None, delta_softplus=False,
+    fold_batch: bool = True, interpret: bool | None = None,
+):
+    """Image-layout fused 4-direction SS2D scan with in-kernel projections.
+
+    The complete TPU rewrite of `cross_selective_scan` (vmamba.py:165-226):
+    the 4-direction expansion (CrossScan), the per-direction projections,
+    the scans, and the merge (CrossMerge) all happen inside ONE kernel per
+    image — no stacked copies, no wh transposes of x or y in HBM.
+
+    Args:
+      x: (B, H, W, dg) post-conv activations.
+      w_dt: (2, 2, dg, dg) composed dt projection, [dir, layout].
+      w_b, w_c: (2, 2, dg, N); A: (2, 2, N, dg) negative;
+      D, delta_bias: (2, 2, dg) optional.
+    Returns y (B, H, W, dg) — the CrossMerge sum over all 4 directions —
+    or None when the geometry/VMEM plan is infeasible (caller falls back
+    to the stacked-layout path).
+    """
+    batch, H, W, dg = x.shape
+    N = A.shape[-2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    io_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    npad = (-N) % 8
+    plan = _plan_img(batch, H, W, dg, N + npad, 2 if io_dtype == jnp.bfloat16
+                     else 4)
+    if plan is None or not fold_batch and plan[0] != 1:
+        if plan is None:
+            return None
+        plan = (1, *plan[1:])
+    f = plan[0]
+
+    from sigma_tpu.utils import flops as _flops
+
+    _flops.record_scan(
+        9 * batch * 4 * L_tokens(H, W) * dg * N
+        + (batch * 4 * L_tokens(H, W) * dg if D is not None else 0)
+        + 2 * batch * 4 * L_tokens(H, W) * dg * (dg + 2 * N)
+    )
+
+    xf = x.reshape(batch // f, f, H, W, dg).astype(io_dtype)
+    wdt_f = w_dt.astype(io_dtype)
+    wb_f = w_b.astype(io_dtype)
+    wc_f = w_c.astype(io_dtype)
+    a_f = A.astype(jnp.float32) * _LOG2E
+    has_bias = delta_bias is not None
+    has_d = D is not None
+    bias_f = (delta_bias.astype(jnp.float32) if has_bias
+              else jnp.zeros((2, 2, dg), jnp.float32))
+    dk_f = (D.astype(jnp.float32) if has_d
+            else jnp.zeros((2, 2, dg), jnp.float32))
+    if npad:
+        a_f = jnp.pad(a_f, ((0, 0), (0, 0), (0, npad), (0, 0)))
+        wb_f = jnp.pad(wb_f, ((0, 0), (0, 0), (0, 0), (0, npad)))
+        wc_f = jnp.pad(wc_f, ((0, 0), (0, 0), (0, 0), (0, npad)))
+    y = _scan_core_img(
+        xf, wdt_f, wb_f, wc_f, a_f, bias_f, dk_f,
+        plan, bool(delta_softplus), has_bias, has_d, interpret,
+    )
+    return y.reshape(batch, H, W, dg).astype(x.dtype)
+
+
+def L_tokens(H, W):
+    return H * W

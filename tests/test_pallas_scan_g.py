@@ -313,3 +313,71 @@ def test_dg_tiled_reverse():
         D, bias,
     )[:, :, ::-1]
     np.testing.assert_allclose(y, y_ref, rtol=6e-4, atol=2e-3)
+
+
+def _img_ref(x, wdt, wb, wc, A, D, bias):
+    """Stacked-layout reference for the image kernel: build the two
+    physical layouts, run the direction-paired proj scans, un-transpose
+    and sum (the SS2D project_scan + merge path)."""
+    from sigma_tpu.ops.pallas_scan_g import selective_scan_g_proj
+
+    b, h, w, dg = x.shape
+    l = h * w
+    hw = x.reshape(b, l, dg)
+    wh = jnp.swapaxes(x, 1, 2).reshape(b, l, dg)
+    u2 = jnp.stack([hw, wh], axis=1)
+    y = None
+    for gi in range(2):
+        yg = selective_scan_g_proj(
+            u2, wdt[gi], wb[gi], wc[gi], A[gi], D=D[gi],
+            delta_bias=bias[gi], delta_softplus=True,
+            reverse=(gi == 1), interpret=True,
+        )
+        y = yg if y is None else y + yg
+    return y[:, 0].reshape(b, h, w, dg) + jnp.swapaxes(
+        y[:, 1].reshape(b, w, h, dg), 1, 2
+    )
+
+
+def test_image_kernel_matches_stacked_path():
+    """selective_scan_ss2d_proj (one call: both directions, both layouts,
+    in-kernel transposes) == the stacked-layout composition, values and
+    all 7 gradient groups."""
+    from sigma_tpu.ops.pallas_scan_g import selective_scan_ss2d_proj
+
+    # geometry: gcd(16,64)=16 -> tw0=4, x8-scaled tw=8, th=2, T=128, nl=8
+    b, h, w, dg, n = 4, 16, 64, 32, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = jax.random.normal(ks[0], (b, h, w, dg), jnp.float32)
+    wdt = jax.random.normal(ks[1], (2, 2, dg, dg)) * (0.3 / dg**0.5)
+    wb = jax.random.normal(ks[2], (2, 2, dg, n)) / dg**0.5
+    wc = jax.random.normal(ks[3], (2, 2, dg, n)) / dg**0.5
+    A = -jnp.exp(jax.random.normal(ks[4], (2, 2, n, dg)))
+    D = jax.random.normal(ks[5], (2, 2, dg))
+    bias = jax.random.normal(ks[6], (2, 2, dg)) * 0.1
+
+    def loss_img(args):
+        x, wdt, wb, wc, A, D, bias = args
+        y = selective_scan_ss2d_proj(
+            x, wdt, wb, wc, A, D=D, delta_bias=bias, delta_softplus=True,
+            interpret=True,
+        )
+        assert y is not None, "image plan unexpectedly infeasible"
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(args):
+        x, wdt, wb, wc, A, D, bias = args
+        y = _img_ref(x, wdt, wb, wc, A, D, bias)
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    args = (x, wdt, wb, wc, A, D, bias)
+    v_img = loss_img(args)
+    v_ref = loss_ref(args)
+    np.testing.assert_allclose(v_img, v_ref, rtol=2e-4)
+    g_img = jax.grad(loss_img)(args)
+    g_ref = jax.grad(loss_ref)(args)
+    names = ["dx", "dwdt", "dwb", "dwc", "dA", "dD", "dbias"]
+    for nme, a, bb in zip(names, g_img, g_ref):
+        scale = max(float(jnp.abs(bb).max()), 1.0)
+        err = float(jnp.abs(a - bb).max()) / scale
+        assert err < 2e-3, (nme, err)
