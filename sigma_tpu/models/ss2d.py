@@ -469,36 +469,43 @@ class CrossMambaFusionSS2D(nn.Module):
         xp1, dtw1, dtb1, alog1, d1 = proj_params("1")
         xp2, dtw2, dtb2, alog2, d2 = proj_params("2")
 
-        def project(seq, xp, dtw):
-            # dt_proj composed into x_proj (dt = x @ (Wx[:, :R] @ Wdt)) and
-            # three separate skinny matmuls — lane-misaligned slices of one
-            # concat matmul relayout the whole tensor on TPU
-            dt = seq @ (xp[:, :dt_rank] @ dtw)
-            bsm = seq @ xp[:, dt_rank : dt_rank + n]
-            csm = seq @ xp[:, dt_rank + n :]
-            return dt, bsm, csm
-
-        dt1, b1, c1 = project(xr_seq, xp1, dtw1)
-        dt2, b2, c2 = project(xe_seq, xp2, dtw2)
-
         # both modality scans in ONE kernel call: groups = modalities
         u = jnp.stack([xr_seq, xe_seq], axis=1)        # (B, 2, L, D)
-        delta = jnp.stack([dt1, dt2], axis=1)
         A_cl = -jnp.exp(
             jnp.stack([alog1.T, alog2.T]).astype(jnp.float32)
         )  # (2, N, D)
-        bs = jnp.stack([b1, b2], axis=1)               # (B, 2, L, N)
-        # swapped C: the cross attention (vmamba.py:1528-1539)
-        cs = jnp.stack([c2, c1], axis=1)
         dd = jnp.stack([d1, d2])  # (2, D)
         bias = jnp.stack([dtb1, dtb2])
 
         if jax.default_backend() == "tpu":
-            y = selective_scan_g(
-                u, delta, A_cl, bs, cs, D=dd, delta_bias=bias,
-                delta_softplus=True,
+            # dt/B/C projected on the MXU inside the kernel; the swapped-C
+            # cross attention (vmamba.py:1528-1539) happens in VMEM —
+            # each modality's scan reads the OTHER modality's projected C
+            cdt = u.dtype
+            wdt = jnp.stack([xp1[:, :dt_rank] @ dtw1,
+                             xp2[:, :dt_rank] @ dtw2]).astype(cdt)
+            wb = jnp.stack([xp1[:, dt_rank : dt_rank + n],
+                            xp2[:, dt_rank : dt_rank + n]]).astype(cdt)
+            wc = jnp.stack([xp1[:, dt_rank + n :],
+                            xp2[:, dt_rank + n :]]).astype(cdt)
+            y = selective_scan_g_proj(
+                u, wdt, wb, wc, A_cl, D=dd, delta_bias=bias,
+                delta_softplus=True, swap_groups_c=True,
             )
         else:
+            def project(seq, xp, dtw):
+                # dt_proj composed into x_proj (dt = x @ (Wx[:, :R] @ Wdt))
+                dt = seq @ (xp[:, :dt_rank] @ dtw)
+                bsm = seq @ xp[:, dt_rank : dt_rank + n]
+                csm = seq @ xp[:, dt_rank + n :]
+                return dt, bsm, csm
+
+            dt1, b1, c1 = project(xr_seq, xp1, dtw1)
+            dt2, b2, c2 = project(xe_seq, xp2, dtw2)
+            delta = jnp.stack([dt1, dt2], axis=1)
+            bs = jnp.stack([b1, b2], axis=1)           # (B, 2, L, N)
+            # swapped C: the cross attention (vmamba.py:1528-1539)
+            cs = jnp.stack([c2, c1], axis=1)
             y = selective_scan_cl(
                 u.reshape(2 * b, l, d_inner),
                 delta.reshape(2 * b, l, d_inner), A_cl,

@@ -91,6 +91,18 @@ def _unroll_fwd(g: int, dg: int, n_state: int, T: int) -> int:
     return u
 
 
+def _pair_swap(v):
+    """Swap adjacent chain pairs on axis 0: (2k, 2k+1) -> (2k+1, 2k).
+    Implements CroMB's cross-modal C exchange (vmamba.py:1528-1539) inside
+    the kernel — each modality's scan consumes the OTHER modality's
+    projected C. Valid when chains are (fold x modality-pair) ordered."""
+    sh = v.shape
+    r = v.reshape((sh[0] // 2, 2) + sh[1:])
+    # slice+concat instead of ::-1 (Mosaic has no `rev` lowering)
+    r = jnp.concatenate([r[:, 1:2], r[:, 0:1]], axis=1)
+    return r.reshape(sh)
+
+
 def _d_eff_blk(d_blk, bias_ref, softplus, has_bias):
     if has_bias:
         d_blk = d_blk + bias_ref[...][:, None, :]
@@ -102,7 +114,8 @@ def _d_eff_blk(d_blk, bias_ref, softplus, has_bias):
 def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 *refs,
                 T, unroll, hoist, softplus, has_bias, has_d,
-                reverse=False, with_hck=True, proj=False, ck_every=None):
+                reverse=False, with_hck=True, proj=False, ck_every=None,
+                swap_c=False):
     if proj:
         # fused-projection mode: d_ref/b_ref/c_ref are the PROJECTION
         # WEIGHTS (G,dg,dg), (G,dg,N), (G,dg,N); dt/B/C are computed on the
@@ -153,6 +166,8 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             d_raw = d_scr[:, pl.ds(t0, unroll), :]
             b_blk = b_scr[:, pl.ds(t0, unroll), :]
             c_blk = c_scr[:, pl.ds(t0, unroll), :]
+            if swap_c:
+                c_blk = _pair_swap(c_blk)
         else:
             d_raw = d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
             b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
@@ -202,7 +217,7 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 hck_ref, dy_ref,
                 *refs,
                 T, unroll, hoist, softplus, has_bias, has_d,
-                reverse=False, proj=False, ck_ratio=1):
+                reverse=False, proj=False, ck_ratio=1, swap_c=False):
     if proj:
         # fused-projection bwd: d_ref/b_ref/c_ref are PROJECTION WEIGHTS
         # (G,dg,dg)/(G,dg,N)/(G,dg,N). dt/B/C streams are recomputed on the
@@ -261,9 +276,12 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
 
     def ld_dbc(t0):
         if proj:
+            c_blk = c_scr[:, pl.ds(t0, unroll), :]
+            if swap_c:
+                c_blk = _pair_swap(c_blk)
             return (d_scr[:, pl.ds(t0, unroll), :],
                     b_scr[:, pl.ds(t0, unroll), :],
-                    c_scr[:, pl.ds(t0, unroll), :])
+                    c_blk)
         return (d_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32),
                 b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32),
                 c_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32))
@@ -395,7 +413,10 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         if proj:
             dd_scr[:, pl.ds(t0, unroll), :] = dd_raw
             db_scr[:, pl.ds(t0, unroll), :] = dbs_g
-            dc_scr[:, pl.ds(t0, unroll), :] = dcs_g
+            # dcs_g is the cotangent of the C each CHAIN consumed; under
+            # the swap it belongs to the PARTNER chain's projection
+            dc_scr[:, pl.ds(t0, unroll), :] = (
+                _pair_swap(dcs_g) if swap_c else dcs_g)
         else:
             dd_ref[0, :, pl.ds(t0, unroll), :] = dd_raw.astype(dd_ref.dtype)
             # dB/dC blocks carry a leading per-dg-tile axis (partials are
@@ -656,7 +677,7 @@ def _scan_core_g_bwd(T, dgt, softplus, has_bias, has_d, interpret, reverse,
 
 def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
               T, softplus, has_bias, has_d, interpret, reverse,
-              proj=False, dgt=None):
+              proj=False, dgt=None, swap_c=False):
     """Shared bwd pallas_call.
 
     proj=False: d/b/c are streamed tensors; returns
@@ -681,7 +702,7 @@ def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
     kernel = functools.partial(
         _bwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dgt, N, un),
         softplus=softplus, has_bias=has_bias, has_d=has_d, reverse=reverse,
-        proj=proj, ck_ratio=ck // un,
+        proj=proj, ck_ratio=ck // un, swap_c=swap_c,
     )
     # bwd grid step j handles LOGICAL block nl-1-j; its physical block is
     # j for a reversed scan, nl-1-j for a forward one. hck is logical.
@@ -808,26 +829,30 @@ _scan_core_g.defvjp(_scan_core_g_fwd, _scan_core_g_bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
 )
 def _scan_core_gp(u, wdt, wb, wc, a3, bias, dk,
-                  T, softplus, has_bias, has_d, interpret, reverse):
-    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
+                  T, softplus, has_bias, has_d, interpret, reverse,
+                  swap_c=False):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d,
+                 swap_c=swap_c)
     y, _ = _fwd_call(u, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
                      reverse, with_hck=False, proj=True)
     return y
 
 
 def _scan_core_gp_fwd(u, wdt, wb, wc, a3, bias, dk,
-                      T, softplus, has_bias, has_d, interpret, reverse):
-    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
+                      T, softplus, has_bias, has_d, interpret, reverse,
+                      swap_c=False):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d,
+                 swap_c=swap_c)
     y, hck = _fwd_call(u, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
                        reverse, with_hck=True, proj=True)
     return y, (u, wdt, wb, wc, a3, bias, dk, hck)
 
 
 def _scan_core_gp_bwd(T, softplus, has_bias, has_d, interpret, reverse,
-                      res, dy):
+                      swap_c, res, dy):
     u, wdt, wb, wc, a3, bias, dk, hck = res
     # Fully fused bwd: dt/B/C are re-projected on the MXU INSIDE the
     # kernel, and both the weight grads and the dd/dB/dC->du chain run as
@@ -837,6 +862,7 @@ def _scan_core_gp_bwd(T, softplus, has_bias, has_d, interpret, reverse,
     du, dA, dwdt, dwb, dwc, dbias, dD = _bwd_call(
         u, wdt, a3, wb, wc, bias, dk, hck, dy,
         T, softplus, has_bias, has_d, interpret, reverse, proj=True,
+        swap_c=swap_c,
     )
     return (du.astype(u.dtype), dwdt.astype(wdt.dtype),
             dwb.astype(wb.dtype), dwc.astype(wc.dtype), dA, dbias, dD)
@@ -967,7 +993,7 @@ def selective_scan_g(
 def selective_scan_g_proj(
     u, w_dt, w_b, w_c, A, D=None, delta_bias=None, delta_softplus=False,
     block_t: int = 512, fold_batch: bool = True, interpret: bool | None = None,
-    reverse: bool = False,
+    reverse: bool = False, swap_groups_c: bool = False,
 ):
     """Fused-projection grouped scan: dt/B/C are PROJECTED FROM u ON THE
     MXU INSIDE THE KERNEL (dt = u @ w_dt, B = u @ w_b, C = u @ w_c per
@@ -982,6 +1008,10 @@ def selective_scan_g_proj(
       w_b, w_c: (G, dg, N).
       A: (G, N, dg) negative; D/delta_bias: (G, dg) optional.
       reverse: as in `selective_scan_g`.
+      swap_groups_c: with G == 2, each chain's scan consumes the OTHER
+        chain's projected C — CroMB's cross-modal attention
+        (Cross_Mamba_Attention_SSM, vmamba.py:1528-1539) without ever
+        materializing the projection streams.
     Returns y (B, G, L, dg), dtype-preserving; scan math fp32.
     """
     dtype_in = u.dtype
@@ -1018,6 +1048,7 @@ def selective_scan_g_proj(
                 best = (key, cand, t_c)
         return best
 
+    assert not swap_groups_c or G == 2, "C-swap needs exactly 2 groups"
     plan = _plan_proj()
     if plan is None or (plan[2] < 64 and plan[2] < L):
         dts = jnp.einsum("bgld,gde->bgle", u, w_dt,
@@ -1026,6 +1057,8 @@ def selective_scan_g_proj(
                         preferred_element_type=jnp.float32)
         cs = jnp.einsum("bgld,gdn->bgln", u, w_c,
                         preferred_element_type=jnp.float32)
+        if swap_groups_c:
+            cs = jnp.flip(cs, axis=1)
         return selective_scan_g(
             u, dts, A, bs, cs, D=D, delta_bias=delta_bias,
             delta_softplus=delta_softplus, block_t=block_t,
@@ -1088,6 +1121,7 @@ def selective_scan_g_proj(
     y = _scan_core_gp(
         uf, wdt_f, wb_f, wc_f, a_f, bias_f, dk_f,
         T, bool(delta_softplus), has_bias, has_d, interpret, bool(reverse),
+        bool(swap_groups_c),
     )
     if pad:
         y = y[:, :, :L]

@@ -23,6 +23,14 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    else:
+        # an explicit shape may request fewer devices than are visible
+        # (e.g. a single-device mesh on the 8-device test backend)
+        n = int(np.prod(tuple(shape)))
+        if n > len(devices):
+            raise ValueError(f"mesh {tuple(shape)} needs {n} devices, "
+                             f"have {len(devices)}")
+        devices = devices[:n]
     arr = np.asarray(devices).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
 

@@ -381,3 +381,52 @@ def test_image_kernel_matches_stacked_path():
         scale = max(float(jnp.abs(bb).max()), 1.0)
         err = float(jnp.abs(a - bb).max()) / scale
         assert err < 2e-3, (nme, err)
+
+
+def test_proj_swap_groups_c():
+    """swap_groups_c: each chain's scan consumes the OTHER chain's
+    projected C (CroMB's cross-modal attention) — values and gradients
+    must match the explicit swapped-stream composition."""
+    from sigma_tpu.ops.pallas_scan_g import (
+        selective_scan_g,
+        selective_scan_g_proj,
+    )
+
+    b, g, L, dg, n = 4, 2, 256, 64, 8
+    ks = jax.random.split(jax.random.PRNGKey(1), 7)
+    u = jax.random.normal(ks[0], (b, g, L, dg), jnp.float32)
+    wdt = jax.random.normal(ks[1], (g, dg, dg)) * (0.3 / dg**0.5)
+    wb = jax.random.normal(ks[2], (g, dg, n)) / dg**0.5
+    wc = jax.random.normal(ks[3], (g, dg, n)) / dg**0.5
+    A = -jnp.exp(jax.random.normal(ks[4], (g, n, dg)))
+    D = jax.random.normal(ks[5], (g, dg))
+    bias = jax.random.normal(ks[6], (g, dg)) * 0.1
+
+    def loss_proj(args):
+        u, wdt, wb, wc, A, D, bias = args
+        y = selective_scan_g_proj(
+            u, wdt, wb, wc, A, D=D, delta_bias=bias, delta_softplus=True,
+            swap_groups_c=True, interpret=True,
+        )
+        return (y**2).sum()
+
+    def loss_ref(args):
+        u, wdt, wb, wc, A, D, bias = args
+        dts = jnp.einsum("bgld,gde->bgle", u, wdt)
+        bs = jnp.einsum("bgld,gdn->bgln", u, wb)
+        cs = jnp.flip(jnp.einsum("bgld,gdn->bgln", u, wc), axis=1)
+        y = selective_scan_g(
+            u, dts, A, bs, cs, D=D, delta_bias=bias, delta_softplus=True,
+            interpret=True,
+        )
+        return (y**2).sum()
+
+    args = (u, wdt, wb, wc, A, D, bias)
+    np.testing.assert_allclose(loss_proj(args), loss_ref(args), rtol=2e-4)
+    gp = jax.grad(loss_proj)(args)
+    gr = jax.grad(loss_ref)(args)
+    for nme, a, bb in zip(["du", "dwdt", "dwb", "dwc", "dA", "dD", "dbias"],
+                          gp, gr):
+        scale = max(float(jnp.abs(bb).max()), 1.0)
+        err = float(jnp.abs(a - bb).max()) / scale
+        assert err < 2e-3, (nme, err)
