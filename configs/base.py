@@ -74,6 +74,11 @@ class Config:
     # checkpoint policy
     checkpoint_start_epoch: int = 50
     checkpoint_step: int = 5
+    # TPU-build extensions to the reference's best-only retention
+    # (train.py:233-244): keep the k best-mIoU epochs, and optionally
+    # overlap checkpoint IO with training (orbax async save)
+    keep_best_k: int = 1
+    async_checkpoint: bool = False
 
     # dirs
     log_dir: str = "log"

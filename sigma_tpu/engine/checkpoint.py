@@ -24,13 +24,46 @@ def _ckpt_path(ckpt_dir: str, epoch: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"epoch-{epoch}")
 
 
-def save_checkpoint(ckpt_dir: str, state, epoch: int) -> str:
-    """Write {state, epoch} under ckpt_dir/epoch-N and update epoch-last."""
+# async-save bookkeeping: one in-flight save at a time. The epoch-last
+# pointer is only advanced once the async write is DURABLE (at the next
+# save, an explicit finalize, or interpreter exit) — a crash mid-write can
+# never leave the pointer referencing a half-written checkpoint.
+_ASYNC = {"ckptr": None, "pending": None}
+
+
+def _write_pointer(ckpt_dir: str, epoch: int):
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, "epoch-last"), "w") as f:
+            f.write(str(epoch))
+
+
+def finalize_checkpoints():
+    """Block until any in-flight async save is durable, then publish its
+    epoch-last pointer. No-op when nothing is pending."""
+    if _ASYNC["pending"] is not None:
+        ckpt_dir, path, epoch, t0 = _ASYNC["pending"]
+        _ASYNC["ckptr"].wait_until_finished()
+        _ASYNC["pending"] = None
+        _write_pointer(ckpt_dir, epoch)
+        get_logger().info(
+            "async checkpoint %s durable (%.2fs since dispatch)",
+            path, time.time() - t0,
+        )
+
+
+def save_checkpoint(ckpt_dir: str, state, epoch: int,
+                    async_save: bool = False) -> str:
+    """Write {state, epoch} under ckpt_dir/epoch-N and update epoch-last.
+
+    `async_save=True` returns as soon as the device arrays are snapshotted
+    to host memory; the filesystem write proceeds in background threads
+    (orbax AsyncCheckpointer) and is awaited at the NEXT save /
+    `finalize_checkpoints()`, overlapping checkpoint IO with training."""
     logger = get_logger()
     t0 = time.time()
+    finalize_checkpoints()  # at most one in-flight async save
     os.makedirs(ckpt_dir, exist_ok=True)
     path = _ckpt_path(ckpt_dir, epoch)
-    ckptr = ocp.StandardCheckpointer()
     # multi-host: every process calls save (orbax coordinates); only the
     # lead process clears a stale dir, with a barrier so nobody starts
     # writing into a directory that is mid-removal
@@ -42,11 +75,25 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int) -> str:
         multihost_utils.sync_global_devices(f"ckpt-clear-{epoch}")
     elif os.path.exists(path):
         shutil.rmtree(path)
+    if async_save:
+        if _ASYNC["ckptr"] is None:
+            _ASYNC["ckptr"] = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+            import atexit
+
+            atexit.register(finalize_checkpoints)
+        _ASYNC["ckptr"].save(path, args=ocp.args.StandardSave(state))
+        _ASYNC["pending"] = (ckpt_dir, path, epoch, t0)
+        logger.info(
+            "dispatched async checkpoint %s (%.2fs blocking)",
+            path, time.time() - t0,
+        )
+        return path
+    ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state)
     ckptr.wait_until_finished()
-    if jax.process_index() == 0:
-        with open(os.path.join(ckpt_dir, "epoch-last"), "w") as f:
-            f.write(str(epoch))
+    _write_pointer(ckpt_dir, epoch)
     logger.info(
         "saved checkpoint %s (%.2fs)", path, time.time() - t0
     )
@@ -76,12 +123,18 @@ def restore_checkpoint(ckpt_dir: str, state_template=None,
     return state, epoch
 
 
-def prune_checkpoints(ckpt_dir: str, keep_epoch: int):
-    """Best-only retention: delete every epoch-N except `keep_epoch`
-    (train.py:233-244)."""
+def prune_checkpoints(ckpt_dir: str, keep_epochs):
+    """Best-k retention: delete every epoch-N not in `keep_epochs` (an int
+    for the reference's best-only policy, train.py:233-244, or an iterable
+    of epochs for best-k). Never touches an in-flight async save."""
     logger = get_logger()
     if not os.path.isdir(ckpt_dir):
         return
+    if isinstance(keep_epochs, int):
+        keep_epochs = (keep_epochs,)
+    keep = set(keep_epochs)
+    if _ASYNC["pending"] is not None:
+        keep.add(_ASYNC["pending"][2])
     for name in os.listdir(ckpt_dir):
         if not name.startswith("epoch-") or name == "epoch-last":
             continue
@@ -89,6 +142,8 @@ def prune_checkpoints(ckpt_dir: str, keep_epoch: int):
             n = int(name.split("-", 1)[1])
         except ValueError:
             continue
-        if n != keep_epoch:
+        if n not in keep:
             shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
-            logger.info("pruned checkpoint epoch-%d (best=%d)", n, keep_epoch)
+            logger.info(
+                "pruned checkpoint epoch-%d (kept %s)", n, sorted(keep)
+            )

@@ -154,9 +154,46 @@ def test_checkpoint_roundtrip(tmp_path, synth_dataset):
     assert epoch == 7 and "params" in raw
     # pruning keeps only the best epoch
     save_checkpoint(ckdir, state, epoch=8)
-    prune_checkpoints(ckdir, keep_epoch=8)
+    prune_checkpoints(ckdir, keep_epochs=8)
     assert not os.path.exists(os.path.join(ckdir, "epoch-7"))
     assert os.path.exists(os.path.join(ckdir, "epoch-8"))
+
+
+def test_checkpoint_async_and_best_k(tmp_path, synth_dataset):
+    from sigma_tpu.engine.checkpoint import finalize_checkpoints
+
+    cfg = _tiny_cfg(synth_dataset)
+    model = build_model(cfg)
+    batch = {
+        "data": np.zeros((1, 32, 32, 3), np.float32),
+        "modal_x": np.zeros((1, 32, 32, 3), np.float32),
+    }
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), batch, optax.adamw(1e-4)
+    )
+    ckdir = str(tmp_path / "ck")
+    # async save: epoch-last is only published once the write is durable
+    save_checkpoint(ckdir, state, epoch=1, async_save=True)
+    save_checkpoint(ckdir, state, epoch=2, async_save=True)  # drains ep 1
+    with open(os.path.join(ckdir, "epoch-last")) as f:
+        assert int(f.read()) == 1
+    finalize_checkpoints()
+    with open(os.path.join(ckdir, "epoch-last")) as f:
+        assert int(f.read()) == 2
+    restored, epoch = restore_checkpoint(ckdir, state)
+    assert epoch == 2
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        state.params, restored.params,
+    )
+    # best-k retention: keep the 2 best epochs of three
+    save_checkpoint(ckdir, state, epoch=3)
+    prune_checkpoints(ckdir, keep_epochs=[2, 3])
+    assert not os.path.exists(os.path.join(ckdir, "epoch-1"))
+    assert os.path.exists(os.path.join(ckdir, "epoch-2"))
+    assert os.path.exists(os.path.join(ckdir, "epoch-3"))
 
 
 def test_evaluator_on_synth(synth_dataset):

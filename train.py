@@ -88,6 +88,7 @@ def main(argv=None):
         make_train_step,
     )
     from sigma_tpu.engine.checkpoint import (
+        finalize_checkpoints,
         prune_checkpoints,
         restore_checkpoint,
         save_checkpoint,
@@ -203,6 +204,7 @@ def main(argv=None):
     evaluator = None
     val_dataset = None
     best_miou, best_epoch = -1.0, -1
+    val_scores = []  # (mIoU, epoch) history for best-k retention
     if not args.no_eval:
         val_dataset = RGBXDataset(cfg.data_setting(), "val", ValPre())
         evaluator = SlidingEvaluator(
@@ -280,7 +282,10 @@ def main(argv=None):
         # matrices). Only logging/pruning side effects are rank-0 gated.
         # Reference semantics: rank-0 in-train val, train.py:213-246.
         if should_ckpt and cfg.checkpoint_dir:
-            save_checkpoint(cfg.checkpoint_dir, state, epoch)
+            save_checkpoint(
+                cfg.checkpoint_dir, state, epoch,
+                async_save=getattr(cfg, "async_checkpoint", False),
+            )
             if evaluator is not None:
                 eval_vars = {"params": state.params}
                 if state.batch_stats is not None:
@@ -307,16 +312,23 @@ def main(argv=None):
                     os.symlink(os.path.abspath(val_path), last)
                 if tb is not None:
                     tb.add_scalar("val_miou", miou, epoch)
+                val_scores.append((miou, epoch))
                 if miou > best_miou:
                     best_miou, best_epoch = miou, epoch
                 if is_main:
                     logger.info(
                         "best mIoU %.2f @ epoch %d", best_miou, best_epoch
                     )
-                    prune_checkpoints(cfg.checkpoint_dir, best_epoch)
+                    # best-k retention (k=1 = the reference's best-only
+                    # policy, train.py:233-244)
+                    k = max(1, getattr(cfg, "keep_best_k", 1))
+                    keep = [e for _, e in
+                            sorted(val_scores, reverse=True)[:k]]
+                    prune_checkpoints(cfg.checkpoint_dir, keep)
         if args.steps and total_steps >= args.steps:
             break
 
+    finalize_checkpoints()  # drain any in-flight async save
     logger.info("training finished (%d steps)", total_steps)
     return 0
 
