@@ -195,6 +195,15 @@ def main():
     except Exception as e:  # pragma: no cover
         extras["flops_err"] = type(e).__name__
 
+    if os.environ.get("BENCH_B16", "1") != "0":
+        # larger-batch forward: serving-style throughput point (one extra
+        # compile; BENCH_B16=0 skips)
+        try:
+            fps_b16, _, _ = bench_fwd("sigma_tiny", 16, bf16=True)
+            extras["fwd_img_s_b16"] = round(fps_b16, 2)
+        except Exception as e:  # pragma: no cover
+            extras["fwd_b16_err"] = type(e).__name__
+
     try:
         extras["train_img_s_b8"] = round(bench_train_step(8, True), 2)
     except Exception as e:  # pragma: no cover
