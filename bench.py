@@ -1,13 +1,24 @@
 #!/usr/bin/env python
 """Benchmark: Sigma throughput on one TPU chip at MFNet resolution.
 
-Prints ONE JSON line:
+Prints the headline JSON line EARLY and re-prints an enriched line after
+every extra section (last JSON line on stdout = current best snapshot):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Headline metric: sigma_tiny forward img/s at 480x640 (batch 8, bf16
 matmul activations, scan fp32 — the deployment configuration). Extras
-report the fp32 number, train-step throughput (batch 8, device-norm
-uint8 path), sigma_base forward, and forward MFU.
+report train-step throughput (batch 8, device-norm uint8 path),
+sigma_base forward + MFU, sliding-eval latency, fp32 forward, and a
+batch-16 serving point.
+
+Robustness (round-3 postmortem: the driver bench timed out with zero
+output because the single JSON print sat after ~10 XLA compiles):
+  * the headline is measured FIRST and printed immediately (flushed);
+  * each extra section re-prints the full enriched JSON line;
+  * a soft deadline (BENCH_DEADLINE_S, default 900s) skips remaining
+    extras once the budget is spent — skipped sections are recorded;
+  * a daemon heartbeat re-prints the latest snapshot every 60s so a
+    hard kill mid-compile still leaves a fresh JSON line in the tail.
 
 Baseline note: the reference publishes no speed numbers. The 38 img/s
 bar is the BASELINE.md north-star (>=2x an ESTIMATED ~19 img/s A100
@@ -15,15 +26,16 @@ Sigma-T forward); see BASELINE.md "Throughput bar derivation" for the
 assumptions behind that estimate and their uncertainty.
 
 Timing method: the axon tunnel costs ~29 ms per dispatch+readback, so a
-naive per-call loop under-reports. Each measurement runs the op n times
-inside one jitted fori_loop with a data-dependent carry and differences
-two loop lengths, cancelling the fixed dispatch cost.
+naive per-call loop under-reports. Forward measurements run the op n
+times inside one jitted fori_loop with a data-dependent carry and
+difference two loop lengths, cancelling the fixed dispatch cost.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import jax
@@ -33,6 +45,29 @@ BASELINE_IMG_PER_S = 38.0  # 2x estimated A100 fwd fps for Sigma-T @ 480x640
 V5E_PEAK_BF16 = 197e12
 V5E_PEAK_FP32 = 49e12
 
+_T0 = time.monotonic()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+
+_result: dict = {}
+_result_lock = threading.Lock()
+
+
+def _emit():
+    with _result_lock:
+        line = json.dumps(_result)
+    print(line, flush=True)
+
+
+def _remaining():
+    return _DEADLINE_S - (time.monotonic() - _T0)
+
+
+def _heartbeat():
+    while True:
+        time.sleep(60)
+        if _result:
+            _emit()
+
 
 def _timed(fn):
     t0 = time.perf_counter()
@@ -41,8 +76,8 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
-def _loop_time(make_loop, n_lo=1, n_hi=5, reps=2):
-    f_lo, f_hi = make_loop(n_lo), make_loop(n_hi)
+def _loop_time(loop_fn, n_lo=1, n_hi=5, reps=2):
+    f_lo, f_hi = (lambda: loop_fn(n_lo)), (lambda: loop_fn(n_hi))
     _timed(f_lo)
     _timed(f_hi)
     t_lo = min(_timed(f_lo) for _ in range(reps))
@@ -50,14 +85,20 @@ def _loop_time(make_loop, n_lo=1, n_hi=5, reps=2):
     return (t_hi - t_lo) / (n_hi - n_lo)
 
 
-def _fwd_loop(model, variables, batch, h, w, n):
-    """n chained forward passes with in-graph inputs (small HLO).
+def _fwd_loop(model, variables, batch, h, w):
+    """Returns loop_fn(n): n chained forward passes in ONE dispatch.
+
+    The trip count is a RUNTIME argument (fori_loop lowers to a while
+    loop), so a single compiled graph — one forward body, not an
+    n_hi-times-unrolled one — serves every n. This matters on slow-compile
+    hosts: the round-3 driver bench died compiling ~10 multi-unrolled
+    graphs before printing anything.
 
     `variables` must be a jit ARGUMENT, not a closure capture — captured
     params are embedded as HLO constants, and sigma_base's ~700MB of them
     blows past the compile-request size limit (HTTP 413)."""
 
-    def run(variables):
+    def run(variables, n):
         key = jax.random.PRNGKey(0)
         rgb = jax.random.uniform(key, (batch, h, w, 3), jnp.float32)
         mx = jax.random.uniform(key, (batch, h, w, 3), jnp.float32)
@@ -72,7 +113,7 @@ def _fwd_loop(model, variables, batch, h, w, n):
         return s
 
     jitted = jax.jit(run)
-    return lambda: jitted(variables)
+    return lambda n: jitted(variables, jnp.int32(n))
 
 
 def bench_fwd(backbone, batch, bf16, num_classes=9, h=480, w=640):
@@ -84,13 +125,8 @@ def bench_fwd(backbone, batch, bf16, num_classes=9, h=480, w=640):
     )
     rgb = jnp.zeros((batch, h, w, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), rgb, rgb)
-    t = _loop_time(lambda n: _fwd_loop(model, variables, batch, h, w, n))
+    t = _loop_time(_fwd_loop(model, variables, batch, h, w))
     return batch / t, model, variables
-
-
-def bench_train_step_backbone(backbone, batch, h=480, w=640):
-    """Train-step throughput for a non-default backbone (sigma_base)."""
-    return bench_train_step(batch, True, h, w, backbone=backbone)
 
 
 def bench_train_step(batch=8, bf16=True, h=480, w=640, backbone=None):
@@ -147,6 +183,95 @@ def bench_train_step(batch=8, bf16=True, h=480, w=640, backbone=None):
     return batch / t
 
 
+# ---------------------------------------------------------------- sections
+
+def _sec_flops(ctx):
+    """Forward MFU vs bf16 peak. Two FLOPs accountings are reported
+    (BASELINE.md "FLOPs accounting"): `fwd_gflops_xla_b8` counts every
+    HLO op; `fwd_gflops_analytic_b8` is the conventional model-FLOPs
+    number (matmuls/convs at 2MKN + the 9BLDN scan closed form) that the
+    reference's fvcore tooling and the BASELINE bar derivation use.
+    MFU uses the ANALYTIC number (the standard convention)."""
+    from sigma_tpu.utils.flops import analytic_flops, xla_flops
+
+    model, variables = ctx["model"], ctx["variables"]
+
+    def fwd(v, a, b):
+        return model.apply(v, a, b).astype(jnp.float32).sum()
+
+    rgb = jnp.zeros((8, 480, 640, 3), jnp.float32)
+    fl_xla = xla_flops(fwd, variables, rgb, rgb)
+    fl_an = analytic_flops(fwd, variables, rgb, rgb)
+    return {
+        "fwd_mfu_pct": round(
+            fl_an * (ctx["fps_bf16"] / 8) / V5E_PEAK_BF16 * 100, 2
+        ),
+        "fwd_gflops_xla_b8": round(fl_xla / 1e9, 1),
+        "fwd_gflops_analytic_b8": round(fl_an / 1e9, 1),
+    }
+
+
+def _sec_train_b8(ctx):
+    return {"train_img_s_b8": round(bench_train_step(8, True), 2)}
+
+
+def _sec_base_fwd(ctx):
+    fps_base, base_model, base_vars = bench_fwd("sigma_base", 4, bf16=True)
+    out = {"sigma_base_fwd_img_s": round(fps_base, 2)}
+    try:
+        from sigma_tpu.utils.flops import analytic_flops
+
+        def bfwd(v, a, b):
+            return base_model.apply(v, a, b).astype(jnp.float32).sum()
+
+        rgb4 = jnp.zeros((4, 480, 640, 3), jnp.float32)
+        bfl = analytic_flops(bfwd, base_vars, rgb4, rgb4)
+        out["sigma_base_fwd_mfu_pct"] = round(
+            bfl * (fps_base / 4) / V5E_PEAK_BF16 * 100, 2
+        )
+    except Exception as e:  # pragma: no cover
+        out["sigma_base_mfu_err"] = type(e).__name__
+    return out
+
+
+def _sec_eval(ctx):
+    """NYU-protocol sliding eval of one 480x640 image: 3 scales x flip
+    x window grid, exp-score accumulation (reference evaluator.py:433-522)."""
+    import numpy as np
+
+    from sigma_tpu.engine.evaluator import SlidingEvaluator
+
+    ev = SlidingEvaluator(
+        ctx["model"], 9, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
+        multi_scales=(0.75, 1.0, 1.25), is_flip=True,
+        eval_crop_size=(480, 640), stride_rate=2 / 3,
+    )
+    img = np.random.randint(0, 255, (480, 640, 3), np.uint8)
+    ev.sliding_eval(ctx["variables"], img, img)  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ev.sliding_eval(ctx["variables"], img, img)
+    return {"eval_s_per_img": round((time.perf_counter() - t0) / 3, 3)}
+
+
+def _sec_fwd_fp32(ctx):
+    fps_fp32, _, _ = bench_fwd("sigma_tiny", 8, bf16=False)
+    return {"fwd_fp32_img_s": round(fps_fp32, 2)}
+
+
+def _sec_fwd_b16(ctx):
+    fps_b16, _, _ = bench_fwd("sigma_tiny", 16, bf16=True)
+    return {"fwd_img_s_b16": round(fps_b16, 2)}
+
+
+def _sec_base_train(ctx):
+    return {
+        "sigma_base_train_img_s_b4": round(
+            bench_train_step(4, True, backbone="sigma_base"), 2
+        )
+    }
+
+
 def main():
     try:
         jax.config.update(
@@ -160,116 +285,55 @@ def main():
     except Exception:
         pass
 
-    extras = {}
+    threading.Thread(target=_heartbeat, daemon=True).start()
 
-    # headline: sigma_tiny fwd, batch 8, bf16 matmuls (scan fp32)
+    # headline FIRST: sigma_tiny fwd, batch 8, bf16 matmuls (scan fp32)
     fps_bf16, model, variables = bench_fwd("sigma_tiny", 8, bf16=True)
-    extras["fwd_fp32_img_s"] = None
-    try:
-        fps_fp32, _, _ = bench_fwd("sigma_tiny", 8, bf16=False)
-        extras["fwd_fp32_img_s"] = round(fps_fp32, 2)
-    except Exception as e:  # pragma: no cover
-        extras["fwd_fp32_err"] = type(e).__name__
-
-    # forward MFU vs bf16 peak. Two FLOPs accountings are reported
-    # (BASELINE.md "FLOPs accounting"): `fwd_gflops_xla_b8` counts every
-    # HLO op (elementwise, converts, per-token scan arithmetic);
-    # `fwd_gflops_analytic_b8` is the conventional model-FLOPs number
-    # (matmuls/convs at 2MKN + the 9BLDN scan closed form) that the
-    # reference's fvcore tooling and the BASELINE bar derivation use.
-    # MFU uses the ANALYTIC number (the standard convention).
-    try:
-        from sigma_tpu.utils.flops import analytic_flops, xla_flops
-
-        def fwd(v, a, b):
-            return model.apply(v, a, b).astype(jnp.float32).sum()
-
-        rgb = jnp.zeros((8, 480, 640, 3), jnp.float32)
-        fl_xla = xla_flops(fwd, variables, rgb, rgb)
-        fl_an = analytic_flops(fwd, variables, rgb, rgb)
-        extras["fwd_mfu_pct"] = round(
-            fl_an * (fps_bf16 / 8) / V5E_PEAK_BF16 * 100, 2
+    with _result_lock:
+        _result.update(
+            metric="sigma_tiny_fwd_480x640_bf16",
+            value=round(fps_bf16, 3),
+            unit="img/s",
+            vs_baseline=round(fps_bf16 / BASELINE_IMG_PER_S, 3),
         )
-        extras["fwd_gflops_xla_b8"] = round(fl_xla / 1e9, 1)
-        extras["fwd_gflops_analytic_b8"] = round(fl_an / 1e9, 1)
-    except Exception as e:  # pragma: no cover
-        extras["flops_err"] = type(e).__name__
+    _emit()
 
-    if os.environ.get("BENCH_B16", "1") != "0":
-        # larger-batch forward: serving-style throughput point (one extra
-        # compile; BENCH_B16=0 skips)
+    ctx = {"fps_bf16": fps_bf16, "model": model, "variables": variables}
+
+    # (name, fn, cold-compile-inclusive cost estimate in seconds) — ordered
+    # by importance; a section only starts if the budget still covers its
+    # estimate.  BENCH_<NAME>=0 skips a section explicitly.
+    sections = [
+        ("flops", _sec_flops, 60),
+        ("train_b8", _sec_train_b8, 240),
+        ("base_fwd", _sec_base_fwd, 240),
+        ("eval", _sec_eval, 240),
+        ("fwd_fp32", _sec_fwd_fp32, 150),
+        ("fwd_b16", _sec_fwd_b16, 150),
+        ("base_train", _sec_base_train, 300),
+    ]
+    skipped = []
+    for name, fn, est in sections:
+        if os.environ.get(f"BENCH_{name.upper()}", "1") == "0":
+            skipped.append(name + ":env")
+            continue
+        if _remaining() < est:
+            skipped.append(name + ":deadline")
+            continue
         try:
-            fps_b16, _, _ = bench_fwd("sigma_tiny", 16, bf16=True)
-            extras["fwd_img_s_b16"] = round(fps_b16, 2)
+            out = fn(ctx)
         except Exception as e:  # pragma: no cover
-            extras["fwd_b16_err"] = type(e).__name__
-
-    try:
-        extras["train_img_s_b8"] = round(bench_train_step(8, True), 2)
-    except Exception as e:  # pragma: no cover
-        extras["train_err"] = type(e).__name__
-
-    try:
-        fps_base, base_model, base_vars = bench_fwd("sigma_base", 4, bf16=True)
-        extras["sigma_base_fwd_img_s"] = round(fps_base, 2)
-        try:
-            from sigma_tpu.utils.flops import analytic_flops as _af
-
-            def bfwd(v, a, b):
-                return base_model.apply(v, a, b).astype(jnp.float32).sum()
-
-            rgb4 = jnp.zeros((4, 480, 640, 3), jnp.float32)
-            bfl = _af(bfwd, base_vars, rgb4, rgb4)
-            extras["sigma_base_fwd_mfu_pct"] = round(
-                bfl * (fps_base / 4) / V5E_PEAK_BF16 * 100, 2
-            )
-        except Exception as e:  # pragma: no cover
-            extras["sigma_base_mfu_err"] = type(e).__name__
-    except Exception as e:  # pragma: no cover
-        extras["sigma_base_err"] = type(e).__name__
-
-    try:
-        extras["sigma_base_train_img_s_b4"] = round(
-            bench_train_step_backbone("sigma_base", 4), 2
-        )
-    except Exception as e:  # pragma: no cover
-        extras["sigma_base_train_err"] = type(e).__name__
-
-    if os.environ.get("BENCH_EVAL", "1") != "0":
-        # NYU-protocol sliding eval of one 480x640 image: 3 scales x flip
-        # x window grid, exp-score accumulation (evaluator.py:433-522 in
-        # the reference). BENCH_EVAL=0 skips the 2-3 extra window-shape
-        # graph compiles.
-        try:
-            import numpy as np
-
-            from sigma_tpu.engine.evaluator import SlidingEvaluator
-
-            ev = SlidingEvaluator(
-                model, 9, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
-                multi_scales=(0.75, 1.0, 1.25), is_flip=True,
-                eval_crop_size=(480, 640), stride_rate=2 / 3,
-            )
-            img = np.random.randint(0, 255, (480, 640, 3), np.uint8)
-            ev.sliding_eval(variables, img, img)  # compile
-            t0 = time.perf_counter()
-            for _ in range(3):
-                ev.sliding_eval(variables, img, img)
-            extras["eval_s_per_img"] = round((time.perf_counter() - t0) / 3, 3)
-        except Exception as e:  # pragma: no cover
-            extras["eval_err"] = type(e).__name__
-
-    print(
-        json.dumps(
-            {
-                "metric": "sigma_tiny_fwd_480x640_bf16",
-                "value": round(fps_bf16, 3),
-                "unit": "img/s",
-                "vs_baseline": round(fps_bf16 / BASELINE_IMG_PER_S, 3),
-                **extras,
-            }
-        )
-    )
+            out = {f"{name}_err": type(e).__name__}
+        with _result_lock:
+            _result.update(out)
+            if skipped:
+                _result["skipped"] = ",".join(skipped)
+        _emit()
+    with _result_lock:
+        if skipped:
+            _result["skipped"] = ",".join(skipped)
+        _result["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+    _emit()
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ torch.save.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -100,17 +101,55 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int,
     return path
 
 
+def _pointer_epoch(ckpt_dir: str) -> Optional[int]:
+    try:
+        with open(os.path.join(ckpt_dir, "epoch-last")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _epoch_dirs(ckpt_dir: str):
+    """Epoch numbers of all complete epoch-N checkpoint directories.
+
+    Orbax commits a checkpoint by atomically renaming its tmp directory
+    into place, so presence of epoch-N implies a complete write."""
+    out = []
+    if not os.path.isdir(ckpt_dir):
+        return out
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith("epoch-") or name == "epoch-last":
+            continue
+        try:
+            out.append(int(name.split("-", 1)[1]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
 def restore_checkpoint(ckpt_dir: str, state_template=None,
                        epoch: Optional[int] = None):
     """Restore (state, epoch). `epoch=None` reads the epoch-last pointer.
+
+    If the pointer is missing or dangling (e.g. the process was killed
+    after orbax committed an async save but before the pointer was
+    published, or the pointed-to epoch was pruned), fall back to the
+    newest complete epoch-N directory.
 
     With `state_template=None` the raw saved pytree (nested dicts) is
     returned — useful for eval-only restores that don't rebuild the
     optimizer state.
     """
     if epoch is None:
-        with open(os.path.join(ckpt_dir, "epoch-last")) as f:
-            epoch = int(f.read().strip())
+        epoch = _pointer_epoch(ckpt_dir)
+        if epoch is None or not os.path.isdir(_ckpt_path(ckpt_dir, epoch)):
+            complete = _epoch_dirs(ckpt_dir)
+            if not complete:
+                raise FileNotFoundError(
+                    f"no checkpoint found under {ckpt_dir!r} "
+                    "(no epoch-last pointer and no epoch-N directories)"
+                )
+            epoch = complete[-1]
     path = _ckpt_path(ckpt_dir, epoch)
     ckptr = ocp.StandardCheckpointer()
     if state_template is None:
@@ -123,10 +162,36 @@ def restore_checkpoint(ckpt_dir: str, state_template=None,
     return state, epoch
 
 
+def save_val_scores(ckpt_dir: str, scores):
+    """Persist the (mIoU, epoch) validation history next to the
+    checkpoints so best-k retention survives `--resume` (without it, a
+    fresh process would prune previously retained best-k checkpoints on
+    its first post-resume validation). Lead process only."""
+    if jax.process_index() != 0:
+        return
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = os.path.join(ckpt_dir, "val_scores.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump([[float(m), int(e)] for m, e in scores], f)
+    os.replace(tmp, os.path.join(ckpt_dir, "val_scores.json"))
+
+
+def load_val_scores(ckpt_dir: str):
+    """Load the persisted (mIoU, epoch) history; [] when absent."""
+    try:
+        with open(os.path.join(ckpt_dir, "val_scores.json")) as f:
+            return [(float(m), int(e)) for m, e in json.load(f)]
+    except (OSError, ValueError):
+        return []
+
+
 def prune_checkpoints(ckpt_dir: str, keep_epochs):
     """Best-k retention: delete every epoch-N not in `keep_epochs` (an int
     for the reference's best-only policy, train.py:233-244, or an iterable
-    of epochs for best-k). Never touches an in-flight async save."""
+    of epochs for best-k). Never touches an in-flight async save, nor the
+    epoch the epoch-last pointer currently targets — with async saves the
+    pointer lags one save behind (published at the next finalize), so its
+    target must stay restorable until the pointer advances."""
     logger = get_logger()
     if not os.path.isdir(ckpt_dir):
         return
@@ -135,6 +200,9 @@ def prune_checkpoints(ckpt_dir: str, keep_epochs):
     keep = set(keep_epochs)
     if _ASYNC["pending"] is not None:
         keep.add(_ASYNC["pending"][2])
+    pointed = _pointer_epoch(ckpt_dir)
+    if pointed is not None:
+        keep.add(pointed)
     for name in os.listdir(ckpt_dir):
         if not name.startswith("epoch-") or name == "epoch-last":
             continue

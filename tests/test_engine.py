@@ -196,6 +196,65 @@ def test_checkpoint_async_and_best_k(tmp_path, synth_dataset):
     assert os.path.exists(os.path.join(ckdir, "epoch-3"))
 
 
+def test_checkpoint_pointer_safety(tmp_path, synth_dataset):
+    """Crash-safety invariants around the epoch-last pointer:
+
+    a) pruning never deletes the pointer's current target (with async
+       saves the pointer lags one save behind, so the newest-best policy
+       would otherwise rmtree the only restorable checkpoint);
+    b) restore falls back to the newest complete epoch-N dir when the
+       pointer is missing (killed before publish) or dangling (pruned).
+    """
+    from sigma_tpu.engine.checkpoint import finalize_checkpoints
+
+    cfg = _tiny_cfg(synth_dataset)
+    model = build_model(cfg)
+    batch = {
+        "data": np.zeros((1, 32, 32, 3), np.float32),
+        "modal_x": np.zeros((1, 32, 32, 3), np.float32),
+    }
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), batch, optax.adamw(1e-4)
+    )
+    ckdir = str(tmp_path / "ck")
+
+    # (a) epoch-2 async save is pending, pointer still -> epoch-1.
+    # best-k=1 says keep only epoch 2; epoch-1 (the pointer target) and
+    # epoch-2 (pending) must BOTH survive so --resume works at any instant.
+    save_checkpoint(ckdir, state, epoch=1, async_save=True)
+    save_checkpoint(ckdir, state, epoch=2, async_save=True)
+    with open(os.path.join(ckdir, "epoch-last")) as f:
+        assert int(f.read()) == 1
+    prune_checkpoints(ckdir, keep_epochs=[2])
+    assert os.path.exists(os.path.join(ckdir, "epoch-1"))
+    restored, epoch = restore_checkpoint(ckdir, state)  # mid-window resume
+    assert epoch == 1
+    finalize_checkpoints()
+    # pointer advanced; now epoch-1 is prunable
+    prune_checkpoints(ckdir, keep_epochs=[2])
+    assert not os.path.exists(os.path.join(ckdir, "epoch-1"))
+    assert os.path.exists(os.path.join(ckdir, "epoch-2"))
+
+    # (b) missing pointer -> newest complete dir
+    os.remove(os.path.join(ckdir, "epoch-last"))
+    restored, epoch = restore_checkpoint(ckdir, state)
+    assert epoch == 2
+    # dangling pointer -> newest complete dir
+    with open(os.path.join(ckdir, "epoch-last"), "w") as f:
+        f.write("99")
+    restored, epoch = restore_checkpoint(ckdir, state)
+    assert epoch == 2
+
+
+def test_val_scores_persistence(tmp_path):
+    from sigma_tpu.engine.checkpoint import load_val_scores, save_val_scores
+
+    ckdir = str(tmp_path / "ck")
+    assert load_val_scores(ckdir) == []
+    save_val_scores(ckdir, [(41.2, 5), (43.7, 10)])
+    assert load_val_scores(ckdir) == [(41.2, 5), (43.7, 10)]
+
+
 def test_evaluator_on_synth(synth_dataset):
     cfg = _tiny_cfg(synth_dataset)
     model = build_model(cfg)

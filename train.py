@@ -89,9 +89,11 @@ def main(argv=None):
     )
     from sigma_tpu.engine.checkpoint import (
         finalize_checkpoints,
+        load_val_scores,
         prune_checkpoints,
         restore_checkpoint,
         save_checkpoint,
+        save_val_scores,
     )
     from sigma_tpu.engine.evaluator import SlidingEvaluator
     from sigma_tpu.models.builder import build_model
@@ -204,7 +206,15 @@ def main(argv=None):
     evaluator = None
     val_dataset = None
     best_miou, best_epoch = -1.0, -1
-    val_scores = []  # (mIoU, epoch) history for best-k retention
+    # (mIoU, epoch) history for best-k retention; reloaded on --resume so
+    # pruning never discards pre-resume best checkpoints
+    val_scores = (
+        load_val_scores(cfg.checkpoint_dir)
+        if args.resume and cfg.checkpoint_dir else []
+    )
+    for m, e in val_scores:
+        if m > best_miou:
+            best_miou, best_epoch = m, e
     if not args.no_eval:
         val_dataset = RGBXDataset(cfg.data_setting(), "val", ValPre())
         evaluator = SlidingEvaluator(
@@ -315,6 +325,7 @@ def main(argv=None):
                 val_scores.append((miou, epoch))
                 if miou > best_miou:
                     best_miou, best_epoch = miou, epoch
+                save_val_scores(cfg.checkpoint_dir, val_scores)
                 if is_main:
                     logger.info(
                         "best mIoU %.2f @ epoch %d", best_miou, best_epoch
