@@ -61,7 +61,18 @@ class SlidingEvaluator:
         eval_crop_size: Sequence[int] = (480, 640),
         stride_rate: float = 2 / 3,
         window_batch: int = 8,
+        mesh=None,
+        image_batch: Optional[int] = None,
     ):
+        """`mesh`/`image_batch`: intra-process multi-device evaluation.
+        With a data mesh over the N local devices, `run()` groups
+        same-shape images into batches of `image_batch` (default N) and
+        every device graph carries a leading image axis sharded over the
+        mesh — so one process with 8 TPU devices drives all 8, replacing
+        the reference's one-worker-per-GPU mp.spawn pool
+        (evaluator.py:244-290). Works for the whole-image protocol branch
+        too (where there is only one window per image and window-level
+        parallelism would idle N-1 devices)."""
         self.model = model
         self.window_batch = window_batch
         self.class_num = num_classes
@@ -71,22 +82,50 @@ class SlidingEvaluator:
         self.is_flip = is_flip
         self.eval_crop_size = tuple(eval_crop_size)
         self.stride_rate = stride_rate
+        self.mesh = mesh
+        if image_batch is None:
+            image_batch = mesh.devices.size if mesh is not None else 1
+        self.image_batch = max(1, int(image_batch))
         self._jitted: dict = {}
 
     # --- device graphs (all cached on static geometry keys) ---------------
-    def _graph(self, key, builder):
+    def _graph(self, key, builder, n=1, in_axes=None):
+        """jit-compile `builder()` once per static-geometry key.
+
+        For image-batched graphs (n>1) the single-image function is vmapped
+        over a leading image axis (`in_axes`: 0 = per-image array, None =
+        shared, e.g. the model variables); with a mesh, axis-0 arguments
+        are sharded over the devices and shared arguments replicated, so
+        the n images run on n devices in parallel."""
         fn = self._jitted.get(key)
         if fn is None:
-            fn = jax.jit(builder())
+            base = builder()
+            if n > 1:
+                base = jax.vmap(base, in_axes=in_axes)
+            kwargs = {}
+            if (self.mesh is not None and n > 1 and in_axes is not None
+                    and n % self.mesh.devices.size == 0):
+                # n must divide over the mesh; run() pads every group to
+                # image_batch (default = mesh size) so this always holds
+                # there — nonconforming explicit batches run unsharded
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axis = self.mesh.axis_names[0]
+                img_sh = NamedSharding(self.mesh, P(axis))
+                repl = NamedSharding(self.mesh, P())
+                kwargs["in_shardings"] = tuple(
+                    img_sh if a == 0 else repl for a in in_axes
+                )
+            fn = jax.jit(base, **kwargs)
             self._jitted[key] = fn
         return fn
 
     def _extract(self, img_shape, x_ndim, pad_hw, margin, spans, wmargin,
-                 bucket):
+                 bucket, n=1):
         """uint8 scaled image -> normalized, zero-padded crop windows,
         chunked and edge-padded to `bucket` windows per chunk."""
         key = ("extract", img_shape, x_ndim, pad_hw, margin, spans, wmargin,
-               bucket)
+               bucket, n)
         mean = self.norm_mean
         std = self.norm_std
 
@@ -143,13 +182,13 @@ class SlidingEvaluator:
 
             return fn
 
-        return self._graph(key, builder)
+        return self._graph(key, builder, n=n, in_axes=(0, 0))
 
-    def _window_scores(self, bucket, window_hw):
+    def _window_scores(self, bucket, window_hw, n=1):
         """Batched model forward over one chunk of windows; flip TTA rides
         the batch axis; returns exp(logits) fp32 (the reference's score
         accumulation domain, evaluator.py:514-520)."""
-        key = ("scores", bucket, window_hw, self.is_flip)
+        key = ("scores", bucket, window_hw, self.is_flip, n)
         model = self.model
         flip = self.is_flip
 
@@ -166,12 +205,12 @@ class SlidingEvaluator:
 
             return fn
 
-        return self._graph(key, builder)
+        return self._graph(key, builder, n=n, in_axes=(None, 0, 0))
 
-    def _accumulate(self, canvas_hw, spans_chunk, wmargin, first):
+    def _accumulate(self, canvas_hw, spans_chunk, wmargin, first, n=1):
         """Crop each window score back to its span (undoing the per-window
         center pad) and add it into the per-scale canvas."""
-        key = ("acc", canvas_hw, spans_chunk, wmargin, first)
+        key = ("acc", canvas_hw, spans_chunk, wmargin, first, n)
         num_classes = self.class_num
 
         def builder():
@@ -194,13 +233,15 @@ class SlidingEvaluator:
 
             return fn
 
-        return self._graph(key, builder)
+        return self._graph(
+            key, builder, n=n, in_axes=(0,) if first else (0, 0)
+        )
 
-    def _finalize(self, canvas_shape, margin, ori_shape, first_scale):
+    def _finalize(self, canvas_shape, margin, ori_shape, first_scale, n=1):
         """Margin-crop, bilinear-resize to the original shape (the device
         analogue of the reference's cv2.resize, evaluator.py:446-449) and
         add into the cross-scale accumulator."""
-        key = ("fin", canvas_shape, margin, ori_shape, first_scale)
+        key = ("fin", canvas_shape, margin, ori_shape, first_scale, n)
         num_classes = self.class_num
 
         def builder():
@@ -223,10 +264,12 @@ class SlidingEvaluator:
 
             return fn
 
-        return self._graph(key, builder)
+        return self._graph(
+            key, builder, n=n, in_axes=(0,) if first_scale else (0, 0)
+        )
 
-    def _argmax(self, ori_shape):
-        key = ("argmax", ori_shape)
+    def _argmax(self, ori_shape, n=1):
+        key = ("argmax", ori_shape, n)
 
         def builder():
             def fn(acc):
@@ -234,7 +277,7 @@ class SlidingEvaluator:
 
             return fn
 
-        return self._graph(key, builder)
+        return self._graph(key, builder, n=n, in_axes=(0,))
 
     # --- host-side sliding logic ----------------------------------------
     def _scale_geometry(self, rows, cols):
@@ -294,57 +337,88 @@ class SlidingEvaluator:
                 (wh + pad_h, ww + pad_w), wmargin)
 
     def scale_process(self, variables, img, modal_x, ori_shape, acc,
-                      first_scale):
+                      first_scale, n=1):
         """One scale's score, computed on-device and accumulated into the
-        cross-scale device accumulator `acc`."""
-        rows, cols = img.shape[:2]
+        cross-scale device accumulator `acc`. With n>1, `img`/`modal_x`
+        carry a leading image axis and every graph runs vmapped (sharded
+        over the mesh when configured)."""
+        per_img = img.shape[1:] if n > 1 else img.shape
+        x_ndim = modal_x.ndim - (1 if n > 1 else 0)
+        rows, cols = per_img[:2]
         pad_hw, margin, spans, window_hw, wmargin = self._scale_geometry(
             rows, cols
         )
         bucket = 1 if len(spans) == 1 else max(1, int(self.window_batch))
 
         extract = self._extract(
-            img.shape, modal_x.ndim, pad_hw, margin, spans, wmargin, bucket
+            per_img, x_ndim, pad_hw, margin, spans, wmargin, bucket, n=n
         )
         chunks = extract(jnp.asarray(img), jnp.asarray(modal_x))
-        score_fn = self._window_scores(bucket, window_hw)
+        score_fn = self._window_scores(bucket, window_hw, n=n)
 
         canvas = None
         if len(spans) == 1:
-            canvas = score_fn(variables, *chunks[0])  # (1, ph, pw, C)
+            canvas = score_fn(variables, *chunks[0])  # ([n,] 1, ph, pw, C)
         else:
             for ci, (cr, cx) in enumerate(chunks):
                 scores = score_fn(variables, cr, cx)
                 chunk_spans = spans[ci * bucket : (ci + 1) * bucket]
                 acc_fn = self._accumulate(
-                    pad_hw, chunk_spans, wmargin, ci == 0
+                    pad_hw, chunk_spans, wmargin, ci == 0, n=n
                 )
                 canvas = (
                     acc_fn(scores) if ci == 0 else acc_fn(canvas, scores)
                 )
-        fin = self._finalize(canvas.shape, margin, ori_shape, first_scale)
+        fin = self._finalize(
+            canvas.shape, margin, ori_shape, first_scale, n=n
+        )
         return fin(canvas) if first_scale else fin(canvas, acc)
+
+    def _resize_scale(self, img, modal_x, s):
+        img_s = cv2.resize(
+            img, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
+        )
+        if modal_x.ndim == 2:
+            x_s = cv2.resize(
+                modal_x, None, fx=s, fy=s, interpolation=cv2.INTER_NEAREST
+            )
+        else:
+            x_s = cv2.resize(
+                modal_x, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
+            )
+        return img_s, x_s
 
     def sliding_eval(self, variables, img, modal_x):
         ori_shape = img.shape[:2]
         acc = None
         for si, s in enumerate(self.multi_scales):
-            img_s = cv2.resize(
-                img, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
-            )
-            if modal_x.ndim == 2:
-                x_s = cv2.resize(
-                    modal_x, None, fx=s, fy=s,
-                    interpolation=cv2.INTER_NEAREST,
-                )
-            else:
-                x_s = cv2.resize(
-                    modal_x, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
-                )
+            img_s, x_s = self._resize_scale(img, modal_x, s)
             acc = self.scale_process(
                 variables, img_s, x_s, ori_shape, acc, si == 0
             )
         return np.asarray(self._argmax(ori_shape)(acc))
+
+    def sliding_eval_batch(self, variables, imgs, modal_xs):
+        """Evaluate n same-shaped images in one pass; returns (n, H, W)
+        predictions. The image axis shards over the local-device mesh —
+        the intra-process replacement for the reference's per-GPU worker
+        processes (evaluator.py:244-290)."""
+        n = len(imgs)
+        if n == 1:
+            return self.sliding_eval(variables, imgs[0], modal_xs[0])[None]
+        ori_shape = imgs[0].shape[:2]
+        acc = None
+        for si, s in enumerate(self.multi_scales):
+            pairs = [
+                self._resize_scale(im, mx, s)
+                for im, mx in zip(imgs, modal_xs)
+            ]
+            img_s = np.stack([p[0] for p in pairs])
+            x_s = np.stack([p[1] for p in pairs])
+            acc = self.scale_process(
+                variables, img_s, x_s, ori_shape, acc, si == 0, n=n
+            )
+        return np.asarray(self._argmax(ori_shape, n=n)(acc))
 
     # --- dataset loop ----------------------------------------------------
     def run(self, variables, dataset, save_fn: Optional[Callable] = None,
@@ -364,9 +438,10 @@ class SlidingEvaluator:
         hist = np.zeros((self.class_num, self.class_num), np.int64)
         correct = labeled = 0
         t0 = time.time()
-        for idx in range(pid, n, pcount):
-            item = dataset[idx]
-            pred = self.sliding_eval(variables, item["data"], item["modal_x"])
+        done = 0
+
+        def score(item, pred):
+            nonlocal hist, labeled, correct, done
             h, l, c = hist_info(
                 self.class_num, pred, item["label"].astype(np.int64)
             )
@@ -375,11 +450,51 @@ class SlidingEvaluator:
             correct += c
             if save_fn is not None:
                 save_fn(item["fn"], pred)
-            if (idx + 1) % log_every == 0:
+            done += 1
+            if done % log_every == 0:
                 logger.info(
-                    "eval %d/%d (%.2fs/img)", idx + 1, n,
-                    (time.time() - t0) / (idx + 1),
+                    "eval %d (%.2fs/img)", done, (time.time() - t0) / done
                 )
+
+        if self.image_batch > 1:
+            # group same-shaped images into device-parallel batches; a
+            # short tail group is padded by repeating the last image (one
+            # compile per geometry, padded predictions dropped)
+            group: list = []
+            gshape = None
+
+            def flush():
+                nonlocal group, gshape
+                if not group:
+                    return
+                k = len(group)
+                padded = group + [group[-1]] * (self.image_batch - k)
+                preds = self.sliding_eval_batch(
+                    variables,
+                    [it["data"] for it in padded],
+                    [it["modal_x"] for it in padded],
+                )
+                for it, pred in zip(group, preds[:k]):
+                    score(it, pred)
+                group, gshape = [], None
+
+            for idx in range(pid, n, pcount):
+                item = dataset[idx]
+                shape = (item["data"].shape, item["modal_x"].shape)
+                if gshape is not None and shape != gshape:
+                    flush()
+                group.append(item)
+                gshape = shape
+                if len(group) == self.image_batch:
+                    flush()
+            flush()
+        else:
+            for idx in range(pid, n, pcount):
+                item = dataset[idx]
+                pred = self.sliding_eval(
+                    variables, item["data"], item["modal_x"]
+                )
+                score(item, pred)
         if shard_across_processes and jax.process_count() > 1:
             from jax.experimental import multihost_utils
 

@@ -40,6 +40,7 @@ from sigma_tpu.ops import selective_scan_cl
 from sigma_tpu.ops.pallas_scan_g import (
     selective_scan_g,
     selective_scan_g_proj,
+    selective_scan_g_proj_ml,
 )
 
 Dtype = Any
@@ -88,13 +89,13 @@ class _SSMDirParams(nn.Module):
     def project_scan(self, u_layouts, chunk):
         """Fused projection + direction-paired scan. The fast path.
 
-        `u_layouts`: (B, J, L, D) — the J distinct PHYSICAL layouts of the
-        input (SS2D: J=2 = [row-major, transposed]; ConMB: J=1 = concat
-        sequence). Direction k = g*J + j pairs group g in (fwd, rev) with
-        layout j, matching the reference direction order
+        `u_layouts`: tuple of J (B, L, D) sequences — the J distinct
+        PHYSICAL layouts of the input (SS2D: J=2 = [row-major, transposed];
+        ConMB: J=1 = concat sequence). Direction k = g*J + j pairs group g
+        in (fwd, rev) with layout j, matching the reference direction order
         (CrossScan, vmamba.py:80-98: [hw, wh, rev-hw, rev-wh]).
 
-        Two TPU-first rewrites of `cross_selective_scan`
+        Three TPU-first rewrites of `cross_selective_scan`
         (vmamba.py:165-226):
           1. dt_proj is COMPOSED into x_proj — dt = (x·Wx[:, :R])·Wdt =
              x·(Wx[:, :R]·Wdt), so one (D -> D+2N) MXU matmul replaces the
@@ -103,18 +104,25 @@ class _SSMDirParams(nn.Module):
              physical buffers (selective_scan_g(reverse=True)) — the K=4
              flipped sequence copies and the merge un-flips are never
              materialized.
+          3. On TPU the J layouts stay SEPARATE operands end to end
+             (selective_scan_g_proj_ml): the row-major layout is a free
+             reshape of the conv output, the layout-stack copy and the
+             per-layout y split never exist, and the direction-group pair
+             sum (the un-flip half of CrossMerge, vmamba.py:100-121) runs
+             in-kernel via y_accum.
 
-        Returns (B, J, L, D): per-layout outputs already summed over the
-        direction groups (the un-flip half of CrossMerge, vmamba.py:100-121);
-        the caller completes the merge by un-transposing layouts j>0.
+        Returns a tuple of J (B, L, D) outputs summed over direction
+        groups; the caller completes the merge by un-transposing layouts
+        j>0 and summing.
         """
-        b, j, l, d = u_layouts.shape
+        j = len(u_layouts)
+        b, l, d = u_layouts[0].shape
         n, r, k = self.d_state, self.dt_rank, self.k
         assert k % j == 0
         g = k // j  # direction groups; 2 = (fwd, rev), 1 = fwd only
         xw = self.x_proj_weight  # (K, D, R+2N)
         wdt = jnp.einsum("kdr,kre->kde", xw[..., :r], self.dt_projs_weight)
-        cdt = u_layouts.dtype
+        cdt = u_layouts[0].dtype
         wdt = wdt.reshape(g, j, d, d).astype(cdt)
         wb = xw[..., r : r + n].reshape(g, j, d, n).astype(cdt)
         wcc = xw[..., r + n :].reshape(g, j, d, n).astype(cdt)
@@ -124,33 +132,44 @@ class _SSMDirParams(nn.Module):
         Ds = self.Ds.reshape(g, j, d)
         bias = self.dt_projs_bias.reshape(g, j, d)
 
-        y = None
         if jax.default_backend() == "tpu":
             # dt/B/C projected ON THE MXU INSIDE the kernel: the streamed
             # (B, g, j, L, D) tensors never touch HBM
+            if j == 2:
+                ys = None
+                for gi in range(g):
+                    ys = selective_scan_g_proj_ml(
+                        u_layouts, wdt[gi], wb[gi], wcc[gi], A_cl[gi],
+                        D=Ds[gi], delta_bias=bias[gi], delta_softplus=True,
+                        reverse=(gi == 1), y_accum=ys,
+                    )
+                return ys
+            y = None
+            u1 = u_layouts[0][:, None]  # (B, 1, L, D)
             for gi in range(g):
-                yg = selective_scan_g_proj(
-                    u_layouts, wdt[gi], wb[gi], wcc[gi], A_cl[gi],
+                y = selective_scan_g_proj(
+                    u1, wdt[gi], wb[gi], wcc[gi], A_cl[gi],
                     D=Ds[gi], delta_bias=bias[gi], delta_softplus=True,
-                    reverse=(gi == 1),
+                    reverse=(gi == 1), y_accum=y,
                 )
-                y = yg if y is None else y + yg
-            return y
+            return (y[:, 0],)
 
         # portable path: THREE separate projections (dt, B, C) — slicing a
         # (D+2N)-channel matmul output at 192/16/16 boundaries relayouts
         # the whole tensor on TPU (lane tiles are 128-wide)
-        dts_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wdt)
-        bs_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wb)
-        cs_a = jnp.einsum("bjld,gjde->bgjle", u_layouts, wcc)
+        u_st = jnp.stack(u_layouts, axis=1)  # (B, J, L, D)
+        dts_a = jnp.einsum("bjld,gjde->bgjle", u_st, wdt)
+        bs_a = jnp.einsum("bjld,gjde->bgjle", u_st, wb)
+        cs_a = jnp.einsum("bjld,gjde->bgjle", u_st, wcc)
+        y = None
         for gi in range(g):
             yg = _scan_dir(
-                u_layouts, dts_a[:, gi], bs_a[:, gi], cs_a[:, gi],
+                u_st, dts_a[:, gi], bs_a[:, gi], cs_a[:, gi],
                 A_cl[gi], Ds[gi], bias[gi],
                 reverse=(gi == 1), chunk=chunk,
             )
             y = yg if y is None else y + yg
-        return y
+        return tuple(y[:, jj] for jj in range(j))
 
 
 class _SplitDense(nn.Module):
@@ -263,15 +282,16 @@ class SS2D(nn.Module):
         params = _SSMDirParams(
             k=4, d_inner=d_inner, d_state=d_state, dt_rank=dt_rank, name="ssm"
         )
-        # two physical layouts (row-major, transposed); reversed directions
-        # run inside the kernel — no 4-way CrossScan copies
+        # two physical layouts (row-major, transposed) as SEPARATE
+        # sequences — hw is a free reshape of the conv output, and the
+        # kernel consumes both operands directly (no CrossScan stack);
+        # reversed directions run inside the kernel
         hw = xx.reshape(b, l, d_inner)
         wh = jnp.swapaxes(xx, 1, 2).reshape(b, l, d_inner)
-        u2 = jnp.stack([hw, wh], axis=1)  # (B, 2, L, D)
-        y2 = params.project_scan(u2, self.scan_chunk)  # (B, 2, L, D)
+        y_hw, y_wh = params.project_scan((hw, wh), self.scan_chunk)
         # complete CrossMerge: un-transpose the wh layout and sum
-        y = y2[:, 0].reshape(b, h, w, d_inner) + jnp.swapaxes(
-            y2[:, 1].reshape(b, w, h, d_inner), 1, 2
+        y = y_hw.reshape(b, h, w, d_inner) + jnp.swapaxes(
+            y_wh.reshape(b, w, h, d_inner), 1, 2
         )
         y = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm")(y)
 
@@ -350,8 +370,8 @@ class ConMBSS2D(nn.Module):
         # CrossMerge_multimodal's un-flip never materialize
         seq = jnp.concatenate(
             [xr.reshape(b, l, d_inner), xe.reshape(b, l, d_inner)], axis=1
-        )[:, None]  # (B, 1, 2L, D)
-        ys = params.project_scan(seq, self.scan_chunk)[:, 0]  # (B, 2L, D)
+        )  # (B, 2L, D)
+        (ys,) = params.project_scan((seq,), self.scan_chunk)  # (B, 2L, D)
         y_rgb, y_e = ys[:, :l], ys[:, l:]
         y_rgb = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm1")(
             y_rgb.reshape(b, h, w, d_inner)
@@ -470,7 +490,6 @@ class CrossMambaFusionSS2D(nn.Module):
         xp2, dtw2, dtb2, alog2, d2 = proj_params("2")
 
         # both modality scans in ONE kernel call: groups = modalities
-        u = jnp.stack([xr_seq, xe_seq], axis=1)        # (B, 2, L, D)
         A_cl = -jnp.exp(
             jnp.stack([alog1.T, alog2.T]).astype(jnp.float32)
         )  # (2, N, D)
@@ -480,19 +499,22 @@ class CrossMambaFusionSS2D(nn.Module):
         if jax.default_backend() == "tpu":
             # dt/B/C projected on the MXU inside the kernel; the swapped-C
             # cross attention (vmamba.py:1528-1539) happens in VMEM —
-            # each modality's scan reads the OTHER modality's projected C
-            cdt = u.dtype
+            # each modality's scan reads the OTHER modality's projected C.
+            # The modality sequences stay separate operands (no stack, no
+            # y split — selective_scan_g_proj_ml).
+            cdt = xr_seq.dtype
             wdt = jnp.stack([xp1[:, :dt_rank] @ dtw1,
                              xp2[:, :dt_rank] @ dtw2]).astype(cdt)
             wb = jnp.stack([xp1[:, dt_rank : dt_rank + n],
                             xp2[:, dt_rank : dt_rank + n]]).astype(cdt)
             wc = jnp.stack([xp1[:, dt_rank + n :],
                             xp2[:, dt_rank + n :]]).astype(cdt)
-            y = selective_scan_g_proj(
-                u, wdt, wb, wc, A_cl, D=dd, delta_bias=bias,
+            y0, y1 = selective_scan_g_proj_ml(
+                (xr_seq, xe_seq), wdt, wb, wc, A_cl, D=dd, delta_bias=bias,
                 delta_softplus=True, swap_groups_c=True,
             )
         else:
+            u = jnp.stack([xr_seq, xe_seq], axis=1)    # (B, 2, L, D)
             def project(seq, xp, dtw):
                 # dt_proj composed into x_proj (dt = x @ (Wx[:, :R] @ Wdt))
                 dt = seq @ (xp[:, :dt_rank] @ dtw)
@@ -513,8 +535,9 @@ class CrossMambaFusionSS2D(nn.Module):
                 D=dd, delta_bias=bias, delta_softplus=True,
                 chunk=self.scan_chunk, backend="xla",
             ).reshape(b, 2, l, d_inner)
-        y_rgb = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_1")(y[:, 0])
-        y_e = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_2")(y[:, 1])
+            y0, y1 = y[:, 0], y[:, 1]
+        y_rgb = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_1")(y0)
+        y_e = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm_2")(y1)
 
         init_i = torch_linear_kernel_init(d_inner)
         out_rgb = nn.Dense(

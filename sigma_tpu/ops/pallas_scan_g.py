@@ -115,20 +115,39 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 *refs,
                 T, unroll, hoist, softplus, has_bias, has_d,
                 reverse=False, with_hck=True, proj=False, ck_every=None,
-                swap_c=False):
+                swap_c=False, accum=False, n_u=1):
+    # accum: extra input block(s) (same spec as y) are ADDED into the
+    # output — the reversed direction-group call folds the forward group's
+    # y in-kernel, so the XLA-side direction-pair add (a full extra
+    # read+read+write of y-sized HBM traffic per SS2D) never runs.
+    # n_u > 1 (proj only): the chains arrive as n_u SEPARATE physical
+    # layout operands of (1, fold, T, dg) blocks — e.g. SS2D's row-major
+    # and transposed sequences — stacked pair-adjacent in VMEM ((fold, j)
+    # chain order, identical to the batch-fold order, so weights/hck/swap_c
+    # semantics are unchanged). y is likewise emitted per layout: the XLA
+    # u-stack copy (+ its layout fixup) and the y split never exist in HBM.
+    u_extra = ()
+    if n_u > 1:
+        assert proj
+        u_extra, refs = refs[: n_u - 1], refs[n_u - 1 :]
+    yin_refs = ()
+    if accum:
+        yin_refs, refs = refs[:n_u], refs[n_u:]
+    y_refs, refs = refs[:n_u], refs[n_u:]
+    y_ref = y_refs[0]
     if proj:
         # fused-projection mode: d_ref/b_ref/c_ref are the PROJECTION
         # WEIGHTS (G,dg,dg), (G,dg,N), (G,dg,N); dt/B/C are computed on the
         # MXU per grid block and never round-trip HBM (their streamed
         # tensors cost ~550MB of writes+reads per stage-1 SS2D call)
         if with_hck:
-            y_ref, hck_ref, h_scr, d_scr, b_scr, c_scr = refs
+            hck_ref, h_scr, d_scr, b_scr, c_scr = refs
         else:
-            y_ref, h_scr, d_scr, b_scr, c_scr = refs
+            h_scr, d_scr, b_scr, c_scr = refs
     elif with_hck:
-        y_ref, hck_ref, h_scr = refs
+        hck_ref, h_scr = refs
     else:
-        y_ref, h_scr = refs
+        (h_scr,) = refs
     il = pl.program_id(2)  # grid is (batch, dg-tile, L-block)
 
     @pl.when(il == 0)
@@ -142,11 +161,16 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
     # no flipped copy of the sequence is ever materialized
     ks = list(reversed(range(unroll))) if reverse else list(range(unroll))
 
+    u_refs = (u_ref,) + u_extra
     if proj:
         G = A.shape[0]
-        u_all = u_ref[0]  # (G, T, dg) io dtype
         for g in range(G):
-            ug = u_all[g]
+            if n_u > 1:
+                # chains are (fold, j) pair-adjacent over the layout
+                # operands: chain g reads operand g % n_u, fold g // n_u
+                ug = u_refs[g % n_u][0, g // n_u]
+            else:
+                ug = u_ref[0, g]
             d_scr[g] = jax.lax.dot_general(
                 ug, d_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -173,7 +197,18 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             b_blk = b_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
             c_blk = c_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         d_blk = _d_eff_blk(d_raw, bias_ref, softplus, has_bias)  # (G, U, dg)
-        u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        if n_u > 1:
+            # stack the SMALL per-operand (fold, U, dg) slices into the
+            # (fold, j) pair-adjacent chain order (pl.ds reads from refs)
+            parts = [
+                r[0, :, pl.ds(t0, unroll), :] for r in u_refs
+            ]
+            g_all = A.shape[0]
+            u_blk = jnp.stack(parts, axis=1).reshape(
+                g_all, unroll, parts[0].shape[-1]
+            ).astype(jnp.float32)
+        else:
+            u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
         du_blk = d_blk * u_blk
         # one transpose per block -> static width-1 lane slices per step
         c_t = jnp.swapaxes(c_blk, 1, 2)              # (G, N, U)
@@ -206,7 +241,25 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         y_blk = jnp.stack(ys, axis=1)                # (G, U, dg)
         if has_d:
             y_blk = y_blk + dk_ref[...][:, None, :] * u_blk
-        y_ref[0, :, pl.ds(t0, unroll), :] = y_blk.astype(y_ref.dtype)
+        if n_u > 1:
+            # un-interleave the (fold, j) chains back onto per-layout outs
+            g_all, _, dgb = y_blk.shape
+            y_pair = y_blk.reshape(g_all // n_u, n_u, unroll, dgb)
+            for j in range(n_u):
+                yj = y_pair[:, j]
+                if accum:
+                    yj = yj + yin_refs[j][
+                        0, :, pl.ds(t0, unroll), :
+                    ].astype(jnp.float32)
+                y_refs[j][0, :, pl.ds(t0, unroll), :] = yj.astype(
+                    y_refs[j].dtype
+                )
+        else:
+            if accum:
+                y_blk = y_blk + yin_refs[0][
+                    0, :, pl.ds(t0, unroll), :
+                ].astype(jnp.float32)
+            y_ref[0, :, pl.ds(t0, unroll), :] = y_blk.astype(y_ref.dtype)
         return h
 
     h = jax.lax.fori_loop(0, nch, body, h_scr[...])
@@ -545,12 +598,13 @@ def _plan_g_layout(batch, G, N, dg, L, want, fold_batch):
 
 
 def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
-              with_hck=True, proj=False, dgt=None):
+              with_hck=True, proj=False, dgt=None, y_accum=None):
     """proj=False: d/b/c are streamed (B,G,L,dg)/(B,G,L,N) tensors.
     proj=True:  d/b/c are projection weights (G,dg,dg)/(G,dg,N)/(G,dg,N)
     and dt/B/C are computed on the MXU inside the kernel.
     dgt: dg tile width — the recurrence is independent per dg channel, so
-    wide shapes split dg across the middle grid dim (never with proj)."""
+    wide shapes split dg across the middle grid dim (never with proj).
+    y_accum: optional (B,G,L,dg) tensor ADDED into y inside the kernel."""
     batch, G, L, dg = u.shape
     N = a3.shape[1]
     nl = L // T
@@ -567,7 +621,8 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
         un = max(un, ck)
     kernel = functools.partial(
         _fwd_kernel, T=T, unroll=un, hoist=False,
-        reverse=reverse, with_hck=with_hck, proj=proj, ck_every=ck, **flags
+        reverse=reverse, with_hck=with_hck, proj=proj, ck_every=ck,
+        accum=y_accum is not None, **flags
     )
 
     # reversed scans stream physical blocks last-to-first; y still lands at
@@ -615,21 +670,28 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
             pl.BlockSpec((1, G, T, N), blk_n, memory_space=pltpu.VMEM),
         ]
         extra_scratch = []
+    in_specs = [
+        pl.BlockSpec((1, G, T, dgt), blk, memory_space=pltpu.VMEM),
+        dbc_specs[0],
+        pl.BlockSpec((G, N, dgt), lambda b_, k, j: (0, 0, k),
+                     memory_space=pltpu.VMEM),
+        dbc_specs[1],
+        dbc_specs[2],
+        pl.BlockSpec((G, dgt), lambda b_, k, j: (0, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, dgt), lambda b_, k, j: (0, k),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [u, d, a3, b, c, bias, dk]
+    if y_accum is not None:
+        in_specs.append(
+            pl.BlockSpec((1, G, T, dgt), blk, memory_space=pltpu.VMEM)
+        )
+        operands.append(y_accum)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, G, T, dgt), blk, memory_space=pltpu.VMEM),
-            dbc_specs[0],
-            pl.BlockSpec((G, N, dgt), lambda b_, k, j: (0, 0, k),
-                         memory_space=pltpu.VMEM),
-            dbc_specs[1],
-            dbc_specs[2],
-            pl.BlockSpec((G, dgt), lambda b_, k, j: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, dgt), lambda b_, k, j: (0, k),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((G, N, dgt), jnp.float32)] + extra_scratch,
@@ -640,8 +702,100 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
         ),
         compiler_params=_pallas_params(interpret),
         interpret=interpret,
-    )(u, d, a3, b, c, bias, dk)
+    )(*operands)
     return (out[0], out[1]) if with_hck else (out[0], None)
+
+
+def _fwd_call_ml(us, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
+                 reverse=False, with_hck=True, y_accs=None):
+    """Multi-layout fused-projection call: `us` is a tuple of n_u operands,
+    each (B, fold, L, dg) — one per PHYSICAL layout of the input (e.g.
+    SS2D's row-major and transposed sequences). Chains are stacked
+    (fold, j) pair-adjacent IN VMEM, matching the batch-fold chain order of
+    the stacked path, so wdt/a3/bias/dk arrive (fold*n_u, ...)-tiled
+    exactly as in `_fwd_call` and hck/swap_c semantics are unchanged.
+    y is emitted per layout: the XLA u-stack copy (+ its layout fixup
+    pass) and the y split never exist in HBM."""
+    n_u = len(us)
+    batch, f, L, dg = us[0].shape
+    G = f * n_u
+    N = a3.shape[1]
+    nl = L // T
+    grid = (batch, 1, nl)
+    un = _unroll_fwd(G, dg, N, T)
+    ck = None
+    if with_hck:
+        ck = _ck_tokens(G, dg, N, T)
+        un = max(un, ck)
+    kernel = functools.partial(
+        _fwd_kernel, T=T, unroll=un, hoist=False, reverse=reverse,
+        with_hck=with_hck, proj=True, ck_every=ck,
+        accum=y_accs is not None, n_u=n_u, **flags
+    )
+
+    def blk(b_, k, j):
+        return (b_, 0, nl - 1 - j, k) if reverse else (b_, 0, j, k)
+
+    def const3(b_, k, j):
+        return (0, 0, 0)
+
+    u_spec = pl.BlockSpec((1, f, T, dg), blk, memory_space=pltpu.VMEM)
+    in_specs = [
+        u_spec,
+        pl.BlockSpec((G, dg, dg), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, N, dg), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, dg, N), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, dg, N), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, dg), lambda b_, k, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, dg), lambda b_, k, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [us[0], wdt, a3, wb, wc, bias, dk]
+    for uj in us[1:]:
+        in_specs.append(u_spec)
+        operands.append(uj)
+    if y_accs is not None:
+        for ya in y_accs:
+            in_specs.append(u_spec)
+            operands.append(ya)
+    out_specs = [u_spec for _ in range(n_u)]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, f, L, dg), us[0].dtype)
+        for _ in range(n_u)
+    ]
+    if with_hck:
+        nck = T // ck
+        out_specs.append(
+            pl.BlockSpec((1, 1, nck, G, N, dg),
+                         lambda b_, k, j: (b_, j, 0, 0, 0, k),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, nl, nck, G, N, dg), jnp.float32)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((G, N, dg), jnp.float32),
+            pltpu.VMEM((G, T, dg), jnp.float32),  # dt block
+            pltpu.VMEM((G, T, N), jnp.float32),   # B block
+            pltpu.VMEM((G, T, N), jnp.float32),   # C block
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=9 * batch * G * L * dg * N,
+            bytes_accessed=4 * batch * G * L * (3 * dg + 2 * N),
+            transcendentals=batch * G * L * dg * N,
+        ),
+        compiler_params=_pallas_params(interpret),
+        interpret=interpret,
+    )(*operands)
+    ys = tuple(out[:n_u])
+    return ys, (out[n_u] if with_hck else None)
 
 
 @functools.partial(
@@ -871,6 +1025,146 @@ def _scan_core_gp_bwd(T, softplus, has_bias, has_d, interpret, reverse,
 _scan_core_gp.defvjp(_scan_core_gp_fwd, _scan_core_gp_bwd)
 
 
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14)
+)
+def _scan_core_gpa(u, wdt, wb, wc, a3, bias, dk, y_acc,
+                   T, softplus, has_bias, has_d, interpret, reverse,
+                   swap_c=False):
+    """Proj core with in-kernel output accumulation: y = scan(u) + y_acc.
+    The accumulation is linear, so bwd passes dy straight through to
+    y_acc and the scan gradients are unchanged."""
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d,
+                 swap_c=swap_c)
+    y, _ = _fwd_call(u, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
+                     reverse, with_hck=False, proj=True, y_accum=y_acc)
+    return y
+
+
+def _scan_core_gpa_fwd(u, wdt, wb, wc, a3, bias, dk, y_acc,
+                       T, softplus, has_bias, has_d, interpret, reverse,
+                       swap_c=False):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d,
+                 swap_c=swap_c)
+    y, hck = _fwd_call(u, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
+                       reverse, with_hck=True, proj=True, y_accum=y_acc)
+    return y, (u, wdt, wb, wc, a3, bias, dk, hck)
+
+
+def _scan_core_gpa_bwd(T, softplus, has_bias, has_d, interpret, reverse,
+                       swap_c, res, dy):
+    u, wdt, wb, wc, a3, bias, dk, hck = res
+    du, dA, dwdt, dwb, dwc, dbias, dD = _bwd_call(
+        u, wdt, a3, wb, wc, bias, dk, hck, dy,
+        T, softplus, has_bias, has_d, interpret, reverse, proj=True,
+        swap_c=swap_c,
+    )
+    # y_acc enters linearly (y = scan + y_acc): its cotangent is dy itself
+    # (y_acc shares u's io dtype — both cast by the wrapper)
+    return (du.astype(u.dtype), dwdt.astype(wdt.dtype),
+            dwb.astype(wb.dtype), dwc.astype(wc.dtype), dA, dbias, dD,
+            dy.astype(u.dtype))
+
+
+_scan_core_gpa.defvjp(_scan_core_gpa_fwd, _scan_core_gpa_bwd)
+
+
+def _ml_stack(u0, u1):
+    """(B, f, L, dg) x2 -> (B, 2f, L, dg) in (fold, j) pair-adjacent chain
+    order — the layout the hck checkpoints were written in."""
+    b, f, L, dg = u0.shape
+    return jnp.stack([u0, u1], axis=2).reshape(b, 2 * f, L, dg)
+
+
+def _ml_bwd(res, dy, T, softplus, has_bias, has_d, interpret, reverse,
+            swap_c):
+    """Shared bwd for the multi-layout cores: the bwd kernel keeps its
+    stacked interface (training-path stacks are the same traffic the
+    stacked fwd produced anyway); du is un-interleaved per layout."""
+    u0, u1, wdt, wb, wc, a3, bias, dk, hck = res
+    b, f, L, dg = u0.shape
+    u_st = _ml_stack(u0, u1)
+    dy_st = _ml_stack(dy[0], dy[1])
+    du, dA, dwdt, dwb, dwc, dbias, dD = _bwd_call(
+        u_st, wdt, a3, wb, wc, bias, dk, hck, dy_st,
+        T, softplus, has_bias, has_d, interpret, reverse, proj=True,
+        swap_c=swap_c,
+    )
+    du4 = du.reshape(b, f, 2, L, dg)
+    return (du4[:, :, 0].astype(u0.dtype), du4[:, :, 1].astype(u1.dtype),
+            dwdt.astype(wdt.dtype), dwb.astype(wb.dtype),
+            dwc.astype(wc.dtype), dA, dbias, dD)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14)
+)
+def _scan_core_gp_ml(u0, u1, wdt, wb, wc, a3, bias, dk,
+                     T, softplus, has_bias, has_d, interpret, reverse,
+                     swap_c=False):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d,
+                 swap_c=swap_c)
+    ys, _ = _fwd_call_ml((u0, u1), wdt, a3, wb, wc, bias, dk, T, flags,
+                         interpret, reverse, with_hck=False)
+    return ys
+
+
+def _scan_core_gp_ml_fwd(u0, u1, wdt, wb, wc, a3, bias, dk,
+                         T, softplus, has_bias, has_d, interpret, reverse,
+                         swap_c=False):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d,
+                 swap_c=swap_c)
+    ys, hck = _fwd_call_ml((u0, u1), wdt, a3, wb, wc, bias, dk, T, flags,
+                           interpret, reverse, with_hck=True)
+    return ys, (u0, u1, wdt, wb, wc, a3, bias, dk, hck)
+
+
+def _scan_core_gp_ml_bwd(T, softplus, has_bias, has_d, interpret, reverse,
+                         swap_c, res, dy):
+    return _ml_bwd(res, dy, T, softplus, has_bias, has_d, interpret,
+                   reverse, swap_c)
+
+
+_scan_core_gp_ml.defvjp(_scan_core_gp_ml_fwd, _scan_core_gp_ml_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16)
+)
+def _scan_core_gp_mla(u0, u1, wdt, wb, wc, a3, bias, dk, ya0, ya1,
+                      T, softplus, has_bias, has_d, interpret, reverse,
+                      swap_c=False):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d,
+                 swap_c=swap_c)
+    ys, _ = _fwd_call_ml((u0, u1), wdt, a3, wb, wc, bias, dk, T, flags,
+                         interpret, reverse, with_hck=False,
+                         y_accs=(ya0, ya1))
+    return ys
+
+
+def _scan_core_gp_mla_fwd(u0, u1, wdt, wb, wc, a3, bias, dk, ya0, ya1,
+                          T, softplus, has_bias, has_d, interpret, reverse,
+                          swap_c=False):
+    flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d,
+                 swap_c=swap_c)
+    ys, hck = _fwd_call_ml((u0, u1), wdt, a3, wb, wc, bias, dk, T, flags,
+                           interpret, reverse, with_hck=True,
+                           y_accs=(ya0, ya1))
+    return ys, (u0, u1, wdt, wb, wc, a3, bias, dk, hck)
+
+
+def _scan_core_gp_mla_bwd(T, softplus, has_bias, has_d, interpret, reverse,
+                          swap_c, res, dy):
+    grads = _ml_bwd(res, dy, T, softplus, has_bias, has_d, interpret,
+                    reverse, swap_c)
+    u0 = res[0]
+    # y_acc enters linearly: cotangents are the per-layout dy passthrough
+    return grads + (dy[0].astype(u0.dtype), dy[1].astype(u0.dtype))
+
+
+_scan_core_gp_mla.defvjp(_scan_core_gp_mla_fwd, _scan_core_gp_mla_bwd)
+
+
 def selective_scan_g(
     u, delta, A, B, C, D=None, delta_bias=None, delta_softplus=False,
     block_t: int = 512, fold_batch: bool = True, interpret: bool | None = None,
@@ -990,10 +1284,33 @@ def selective_scan_g(
     return y.astype(dtype_in)
 
 
+def _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch):
+    """Joint (fold, T) planner for the fused-projection kernel: folding
+    batch into G adds ILP chains but multiplies the in-VMEM weight /
+    weight-grad copies. Scored like _plan_g_layout: padding-discounted
+    block length first, then chains. Returns (key, fold, T) or None."""
+    best = None
+    folds = [1]
+    if fold_batch and batch > 1 and G < 8:
+        folds = [c for c in range(min(batch, 8 // G), 0, -1)
+                 if batch % c == 0]
+    for cand in folds:
+        if cand * G * n_planned * dg * 4 > 2 * 1024 * 1024:
+            continue
+        if 6 * cand * G * dg * dg > 12 * 1024 * 1024:
+            continue
+        t_c = _block_t(cand * G, dg, n_planned, block_t, L, proj=True)
+        eff_t = min(t_c, 128) * L / (L + (-L) % t_c)
+        key = (eff_t, cand * G)
+        if best is None or key > best[0]:
+            best = (key, cand, t_c)
+    return best
+
+
 def selective_scan_g_proj(
     u, w_dt, w_b, w_c, A, D=None, delta_bias=None, delta_softplus=False,
     block_t: int = 512, fold_batch: bool = True, interpret: bool | None = None,
-    reverse: bool = False, swap_groups_c: bool = False,
+    reverse: bool = False, swap_groups_c: bool = False, y_accum=None,
 ):
     """Fused-projection grouped scan: dt/B/C are PROJECTED FROM u ON THE
     MXU INSIDE THE KERNEL (dt = u @ w_dt, B = u @ w_b, C = u @ w_c per
@@ -1012,6 +1329,10 @@ def selective_scan_g_proj(
         chain's projected C — CroMB's cross-modal attention
         (Cross_Mamba_Attention_SSM, vmamba.py:1528-1539) without ever
         materializing the projection streams.
+      y_accum: optional (B, G, L, dg) tensor added into y INSIDE the
+        kernel — the direction-group pair sum of CrossMerge
+        (vmamba.py:100-121) without a separate XLA add pass over y-sized
+        HBM traffic.
     Returns y (B, G, L, dg), dtype-preserving; scan math fp32.
     """
     dtype_in = u.dtype
@@ -1025,31 +1346,13 @@ def selective_scan_g_proj(
     # streamed kernel) — same math. Triggers: wide STATE (the per-chain
     # (G,N,dg) stashes crush T), wide dg (the bwd's in-VMEM weights +
     # (G,dg,dg) f32 weight-grad block scale quadratically with dg), or a
-    # degenerate planned block length (see the joint fold/T planner below —
+    # degenerate planned block length (see the joint fold/T planner —
     # sigma_base stage 3 at dg=1024 fits the weight budget but only at T=8,
     # where the streamed kernel's dg-tiling wins).
     n_planned = N + ((-N) % 8)
 
-    def _plan_proj():
-        best = None
-        folds = [1]
-        if fold_batch and batch > 1 and G < 8:
-            folds = [c for c in range(min(batch, 8 // G), 0, -1)
-                     if batch % c == 0]
-        for cand in folds:
-            if cand * G * n_planned * dg * 4 > 2 * 1024 * 1024:
-                continue
-            if 6 * cand * G * dg * dg > 12 * 1024 * 1024:
-                continue
-            t_c = _block_t(cand * G, dg, n_planned, block_t, L, proj=True)
-            eff_t = min(t_c, 128) * L / (L + (-L) % t_c)
-            key = (eff_t, cand * G)
-            if best is None or key > best[0]:
-                best = (key, cand, t_c)
-        return best
-
     assert not swap_groups_c or G == 2, "C-swap needs exactly 2 groups"
-    plan = _plan_proj()
+    plan = _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch)
     if plan is None or (plan[2] < 64 and plan[2] < L):
         dts = jnp.einsum("bgld,gde->bgle", u, w_dt,
                          preferred_element_type=jnp.float32)
@@ -1059,11 +1362,12 @@ def selective_scan_g_proj(
                         preferred_element_type=jnp.float32)
         if swap_groups_c:
             cs = jnp.flip(cs, axis=1)
-        return selective_scan_g(
+        y = selective_scan_g(
             u, dts, A, bs, cs, D=D, delta_bias=delta_bias,
             delta_softplus=delta_softplus, block_t=block_t,
             fold_batch=fold_batch, interpret=interpret, reverse=reverse,
         )
+        return y if y_accum is None else y + y_accum
     fold, T = plan[1], plan[2]
 
     from sigma_tpu.utils import flops as _flops
@@ -1118,16 +1422,141 @@ def selective_scan_g_proj(
     if pad:
         uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
-    y = _scan_core_gp(
-        uf, wdt_f, wb_f, wc_f, a_f, bias_f, dk_f,
-        T, bool(delta_softplus), has_bias, has_d, interpret, bool(reverse),
-        bool(swap_groups_c),
-    )
+    if y_accum is not None:
+        ya = y_accum.astype(io_dtype)
+        if fold > 1:
+            ya = ya.reshape(batch // fold, fold * G, L, dg)
+        if pad:
+            ya = jnp.pad(ya, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        y = _scan_core_gpa(
+            uf, wdt_f, wb_f, wc_f, a_f, bias_f, dk_f, ya,
+            T, bool(delta_softplus), has_bias, has_d, interpret,
+            bool(reverse), bool(swap_groups_c),
+        )
+    else:
+        y = _scan_core_gp(
+            uf, wdt_f, wb_f, wc_f, a_f, bias_f, dk_f,
+            T, bool(delta_softplus), has_bias, has_d, interpret,
+            bool(reverse), bool(swap_groups_c),
+        )
     if pad:
         y = y[:, :, :L]
     if fold > 1:
         y = y.reshape(batch, G, L, dg)
     return y.astype(dtype_in)
+
+
+def selective_scan_g_proj_ml(
+    us, w_dt, w_b, w_c, A, D=None, delta_bias=None, delta_softplus=False,
+    block_t: int = 512, fold_batch: bool = True,
+    interpret: bool | None = None, reverse: bool = False,
+    swap_groups_c: bool = False, y_accum=None,
+):
+    """Multi-layout fused-projection scan: like `selective_scan_g_proj`
+    with G == 2, but the two chains arrive as SEPARATE (B, L, dg) operands
+    (`us`) and y returns as two (B, L, dg) outputs. For SS2D the operands
+    are the row-major sequence (a free reshape of the conv output — never
+    copied) and its transpose; for CroMB the two modality sequences. The
+    XLA stack fusion + its layout fixup copy on the way in, and the y
+    split on the way out (~2.8 ms of HBM traffic per stage-1 SS2D), never
+    exist. `y_accum`: matching tuple added in-kernel (CrossMerge pair sum).
+
+    Falls back to the stacked path off-TPU or when the planner rejects the
+    shape — identical math either way.
+    """
+    u0, u1 = us
+    dtype_in = u0.dtype
+    batch, L, dg = u0.shape
+    G = 2
+    N = A.shape[1]
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n_planned = N + ((-N) % 8)
+    plan = _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch)
+    if plan is None or (plan[2] < 64 and plan[2] < L):
+        # stacked fallback (rejected shapes): same math
+        u_st = jnp.stack([u0, u1], axis=1)
+        ya = None
+        if y_accum is not None:
+            ya = jnp.stack([y_accum[0], y_accum[1]], axis=1)
+        y = selective_scan_g_proj(
+            u_st, w_dt, w_b, w_c, A, D=D, delta_bias=delta_bias,
+            delta_softplus=delta_softplus, block_t=block_t,
+            fold_batch=fold_batch, interpret=interpret, reverse=reverse,
+            swap_groups_c=swap_groups_c, y_accum=ya,
+        )
+        return y[:, 0], y[:, 1]
+    fold, T = plan[1], plan[2]
+
+    from sigma_tpu.utils import flops as _flops
+
+    _flops.record_scan(
+        9 * batch * G * L * dg * N
+        + (batch * G * L * dg if D is not None else 0)
+        + 2 * batch * G * L * dg * (dg + 2 * N)
+    )
+
+    io_dtype = jnp.bfloat16 if dtype_in == jnp.bfloat16 else jnp.float32
+    u0f = u0.astype(io_dtype).reshape(batch // fold, fold, L, dg)
+    u1f = u1.astype(io_dtype).reshape(batch // fold, fold, L, dg)
+    wdt_f = w_dt.astype(io_dtype)
+    wb_f = w_b.astype(io_dtype)
+    wc_f = w_c.astype(io_dtype)
+    a_f = A.astype(jnp.float32) * _LOG2E  # kernel computes exp2
+    has_bias = delta_bias is not None
+    has_d = D is not None
+    bias_f = (
+        delta_bias.astype(jnp.float32).reshape(G, dg)
+        if has_bias else jnp.zeros((G, dg), jnp.float32)
+    )
+    dk_f = (
+        D.astype(jnp.float32).reshape(G, dg)
+        if has_d else jnp.zeros((G, dg), jnp.float32)
+    )
+    npad = (-N) % 8
+    if npad:
+        a_f = jnp.pad(a_f, ((0, 0), (0, npad), (0, 0)))
+        wb_f = jnp.pad(wb_f, ((0, 0), (0, 0), (0, npad)))
+        wc_f = jnp.pad(wc_f, ((0, 0), (0, 0), (0, npad)))
+    if fold > 1:
+        wdt_f = jnp.tile(wdt_f, (fold, 1, 1))
+        wb_f = jnp.tile(wb_f, (fold, 1, 1))
+        wc_f = jnp.tile(wc_f, (fold, 1, 1))
+        a_f = jnp.tile(a_f, (fold, 1, 1))
+        bias_f = jnp.tile(bias_f, (fold, 1))
+        dk_f = jnp.tile(dk_f, (fold, 1))
+
+    pad = (-L) % T
+    if pad:
+        u0f = jnp.pad(u0f, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        u1f = jnp.pad(u1f, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    args = (T, bool(delta_softplus), has_bias, has_d, interpret,
+            bool(reverse), bool(swap_groups_c))
+    if y_accum is not None:
+        ya0 = y_accum[0].astype(io_dtype).reshape(
+            batch // fold, fold, L, dg
+        )
+        ya1 = y_accum[1].astype(io_dtype).reshape(
+            batch // fold, fold, L, dg
+        )
+        if pad:
+            ya0 = jnp.pad(ya0, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            ya1 = jnp.pad(ya1, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        y0, y1 = _scan_core_gp_mla(
+            u0f, u1f, wdt_f, wb_f, wc_f, a_f, bias_f, dk_f, ya0, ya1, *args
+        )
+    else:
+        y0, y1 = _scan_core_gp_ml(
+            u0f, u1f, wdt_f, wb_f, wc_f, a_f, bias_f, dk_f, *args
+        )
+    if pad:
+        y0, y1 = y0[:, :, :L], y1[:, :, :L]
+    y0 = y0.reshape(batch, L, dg).astype(dtype_in)
+    y1 = y1.reshape(batch, L, dg).astype(dtype_in)
+    return y0, y1
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,16 @@ def main():
     assert len(jax.devices()) == 2, jax.devices()
     assert len(jax.local_devices()) == 1
 
+    # establish the Gloo communicator NOW, while both workers are in
+    # lockstep (a trivial collective compiles in seconds). Without this,
+    # the first collective runs after the step_fn compile — on a loaded
+    # 1-core host the two compiles can desynchronize by minutes and the
+    # late worker misses Gloo's 30s context-init window
+    # ("GetKeyValue() timed out", observed r4).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("gloo-context-warmup")
+
     import train as train_mod
 
     rc = train_mod.main([

@@ -272,6 +272,76 @@ def test_evaluator_on_synth(synth_dataset):
     assert detail["iou"].shape == (9,)
 
 
+def test_evaluator_multi_device_batch(synth_dataset):
+    """Intra-process multi-device eval (reference evaluator.py:244-290
+    used one worker process per GPU; here the image axis shards over the
+    local mesh): the batched path must produce EXACTLY the single-device
+    predictions and mIoU, including the padded tail group, and its model
+    dispatches must actually span all mesh devices."""
+    cfg = _tiny_cfg(synth_dataset)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = jax.jit(model.init)(rng, sample, sample)
+    # 3 same-shaped val images -> one full group of 2 + a padded tail
+    val_ds = RGBXDataset(cfg.data_setting(), "val", ValPre())
+    items = [val_ds[i % len(val_ds)] for i in range(3)]
+
+    class _DS:
+        def __len__(self):
+            return len(items)
+
+        def __getitem__(self, i):
+            return items[i]
+
+    kwargs = dict(
+        multi_scales=(0.75, 1.0), is_flip=True,
+        eval_crop_size=(32, 32), stride_rate=2 / 3,
+    )
+    ev1 = SlidingEvaluator(
+        model, cfg.num_classes, cfg.norm_mean, cfg.norm_std, **kwargs
+    )
+    miou1, det1 = ev1.run(variables, _DS())
+
+    ndev = jax.device_count()
+    mesh = make_mesh((ndev,))
+    evn = SlidingEvaluator(
+        model, cfg.num_classes, cfg.norm_mean, cfg.norm_std,
+        mesh=mesh, **kwargs
+    )
+    assert evn.image_batch == ndev
+    # 3 items -> ONE padded group of ndev: exercises tail-pad semantics
+    miou_n, det_n = evn.run(variables, _DS())
+    np.testing.assert_allclose(miou_n, miou1, atol=1e-6)
+    np.testing.assert_allclose(det_n["iou"], det1["iou"], atol=1e-6)
+
+    # per-image prediction equality at a full device batch
+    group = [items[i % len(items)] for i in range(ndev)]
+    preds1 = np.stack([
+        ev1.sliding_eval(variables, it["data"], it["modal_x"])
+        for it in group
+    ])
+    predsn = evn.sliding_eval_batch(
+        variables,
+        [it["data"] for it in group],
+        [it["modal_x"] for it in group],
+    )
+    np.testing.assert_array_equal(predsn, preds1)
+
+    # the batched graphs really shard the image axis over the mesh
+    img = jnp.asarray(np.stack([it["data"] for it in group]))
+    mx = jnp.asarray(np.stack([it["modal_x"] for it in group]))
+    h0, w0 = items[0]["data"].shape[:2]
+    pad_hw, margin, spans, window_hw, wmargin = evn._scale_geometry(h0, w0)
+    bucket = 1 if len(spans) == 1 else evn.window_batch
+    extract = evn._extract(
+        (h0, w0, 3), 3, pad_hw, margin, spans, wmargin, bucket, n=ndev
+    )
+    chunks = extract(img, mx)
+    sharding = chunks[0][0].sharding
+    assert len(sharding.device_set) == ndev, sharding
+
+
 def test_warmup_poly_schedule():
     sched = warmup_poly_lr(6e-5, 0.9, total_iters=1000, warmup_steps=100)
     assert float(sched(0)) == 0.0

@@ -430,3 +430,114 @@ def test_proj_swap_groups_c():
         scale = max(float(jnp.abs(bb).max()), 1.0)
         err = float(jnp.abs(a - bb).max()) / scale
         assert err < 2e-3, (nme, err)
+
+
+def test_proj_y_accum():
+    """In-kernel output accumulation: y = scan(u, weights_g1, reverse) +
+    y_prev must equal the separate-call + XLA-add pipeline, in value AND
+    in every gradient (y_accum's cotangent is a pure passthrough)."""
+    from sigma_tpu.ops.pallas_scan_g import selective_scan_g_proj
+
+    batch, G, L, dg, N = 2, 2, 64, 24, 4
+    u, wdt0, wb0, wc0, A, D, bias = _make_proj(batch, G, L, dg, N, seed=21)
+    _, wdt1, wb1, wc1, _, _, _ = _make_proj(batch, G, L, dg, N, seed=22)
+
+    def two_pass(args, fused):
+        u, wdt0, wb0, wc0, wdt1, wb1, wc1 = args
+        y0 = selective_scan_g_proj(
+            u, wdt0, wb0, wc0, A, D=D, delta_bias=bias,
+            delta_softplus=True, block_t=32,
+        )
+        if fused:
+            return selective_scan_g_proj(
+                u, wdt1, wb1, wc1, A, D=D, delta_bias=bias,
+                delta_softplus=True, block_t=32, reverse=True, y_accum=y0,
+            )
+        y1 = selective_scan_g_proj(
+            u, wdt1, wb1, wc1, A, D=D, delta_bias=bias,
+            delta_softplus=True, block_t=32, reverse=True,
+        )
+        return y0 + y1
+
+    args = (u, wdt0, wb0, wc0, wdt1, wb1, wc1)
+    y_fused = two_pass(args, True)
+    y_sep = two_pass(args, False)
+    np.testing.assert_allclose(y_fused, y_sep, rtol=1e-5, atol=1e-5)
+
+    gf = jax.grad(lambda a: (two_pass(a, True) ** 2).sum())(args)
+    gs = jax.grad(lambda a: (two_pass(a, False) ** 2).sum())(args)
+    for name, a, b in zip(
+            ["du", "dwdt0", "dwb0", "dwc0", "dwdt1", "dwb1", "dwc1"],
+            gf, gs):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=2e-4, atol=2e-4, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_multi_layout_proj(reverse):
+    """Per-layout-operand kernel (selective_scan_g_proj_ml) must match the
+    stacked selective_scan_g_proj exactly — same chains, same weights."""
+    from sigma_tpu.ops.pallas_scan_g import (
+        selective_scan_g_proj,
+        selective_scan_g_proj_ml,
+    )
+
+    batch, G, L, dg, N = 4, 2, 64, 24, 4
+    u, wdt, wb, wc, A, D, bias = _make_proj(batch, G, L, dg, N, seed=31)
+    y_st = selective_scan_g_proj(
+        u, wdt, wb, wc, A, D=D, delta_bias=bias, delta_softplus=True,
+        block_t=32, reverse=reverse,
+    )
+    y0, y1 = selective_scan_g_proj_ml(
+        (u[:, 0], u[:, 1]), wdt, wb, wc, A, D=D, delta_bias=bias,
+        delta_softplus=True, block_t=32, reverse=reverse,
+    )
+    np.testing.assert_allclose(y0, y_st[:, 0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y1, y_st[:, 1], rtol=1e-5, atol=1e-5)
+
+
+def test_multi_layout_proj_grads_accum_swap():
+    """ml grads (stacked-bwd shim) + in-kernel accumulation + the CroMB
+    C-swap must all match the stacked pipeline."""
+    from sigma_tpu.ops.pallas_scan_g import (
+        selective_scan_g_proj,
+        selective_scan_g_proj_ml,
+    )
+
+    batch, G, L, dg, N = 4, 2, 64, 24, 4
+    u, wdt0, wb0, wc0, A, D, bias = _make_proj(batch, G, L, dg, N, seed=41)
+    _, wdt1, wb1, wc1, _, _, _ = _make_proj(batch, G, L, dg, N, seed=42)
+
+    def model(args, ml):
+        u, wdt0, wb0, wc0, wdt1, wb1, wc1 = args
+        kw = dict(A=A, D=D, delta_bias=bias, delta_softplus=True,
+                  block_t=32)
+        if ml:
+            ys = selective_scan_g_proj_ml(
+                (u[:, 0], u[:, 1]), wdt0, wb0, wc0,
+                swap_groups_c=True, **kw)
+            ys = selective_scan_g_proj_ml(
+                (u[:, 0], u[:, 1]), wdt1, wb1, wc1, reverse=True,
+                y_accum=ys, **kw)
+            return jnp.stack(ys, axis=1)
+        y0 = selective_scan_g_proj(
+            u, wdt0, wb0, wc0, swap_groups_c=True, **kw)
+        y1 = selective_scan_g_proj(
+            u, wdt1, wb1, wc1, reverse=True, **kw)
+        return y0 + y1
+
+    args = (u, wdt0, wb0, wc0, wdt1, wb1, wc1)
+    np.testing.assert_allclose(
+        model(args, True), model(args, False), rtol=1e-5, atol=1e-5
+    )
+    gm = jax.grad(lambda a: (model(a, True) ** 2).sum())(args)
+    gs = jax.grad(lambda a: (model(a, False) ** 2).sum())(args)
+    for name, a, b in zip(
+            ["du", "dwdt0", "dwb0", "dwc0", "dwdt1", "dwb1", "dwc1"],
+            gm, gs):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=2e-4, atol=2e-4, err_msg=name
+        )
