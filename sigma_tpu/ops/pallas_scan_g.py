@@ -270,7 +270,21 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 hck_ref, dy_ref,
                 *refs,
                 T, unroll, hoist, softplus, has_bias, has_d,
-                reverse=False, proj=False, ck_ratio=1, swap_c=False):
+                reverse=False, proj=False, ck_ratio=1, swap_c=False,
+                n_u=1):
+    # n_u > 1 (proj only): u/dy arrive as n_u per-layout operands and du
+    # is emitted per layout, mirroring the fwd kernel — the XLA-side
+    # stack of u/dy and the du split (each a y-sized HBM pass + layout
+    # fixup per SS2D bwd) never exist. Chains stay (fold, j)
+    # pair-adjacent, so hck/weights/swap_c are unchanged.
+    u_extra = dy_extra = ()
+    if n_u > 1:
+        assert proj
+        u_extra = refs[: n_u - 1]
+        dy_extra = refs[n_u - 1 : 2 * (n_u - 1)]
+        refs = refs[2 * (n_u - 1) :]
+    u_refs = (u_ref,) + u_extra
+    dy_refs = (dy_ref,) + dy_extra
     if proj:
         # fused-projection bwd: d_ref/b_ref/c_ref are PROJECTION WEIGHTS
         # (G,dg,dg)/(G,dg,N)/(G,dg,N). dt/B/C streams are recomputed on the
@@ -280,14 +294,29 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         # NONE of the (B,G,L,*) projection streams or their cotangents ever
         # touch HBM (they cost ~1.1GB of traffic per stage-1 SS2D bwd when
         # staged through XLA einsums).
-        (du_ref, dA_ref, dwdt_ref, dwb_ref, dwc_ref, dbias_ref, dD_ref,
+        du_refs = tuple(refs[:n_u])
+        du_ref = du_refs[0]
+        (dA_ref, dwdt_ref, dwb_ref, dwc_ref, dbias_ref, dD_ref,
          dh_scr, dA_scr, dbias_scr, dD_scr, hloc_scr,
-         d_scr, b_scr, c_scr, dd_scr, db_scr, dc_scr, *rest) = refs
+         d_scr, b_scr, c_scr, dd_scr, db_scr, dc_scr, *rest) = refs[n_u:]
     else:
         (du_ref, dd_ref, dA_ref, dB_ref, dC_ref, dbias_ref, dD_ref,
          dh_scr, dA_scr, dbias_scr, dD_scr, hloc_scr, *rest) = refs
     dhp_scr = rest[0] if rest else None  # hoisted path's dh-chain stash
     j = pl.program_id(2)  # logical-reversed block sweep (via index maps)
+
+    def _chains_blk(retrieve_refs, t0):
+        """(G, U, dg) block in (fold, j) pair-adjacent chain order from
+        the per-layout operand refs (n_u == 1: plain block read)."""
+        if n_u == 1:
+            return retrieve_refs[0][
+                0, :, pl.ds(t0, unroll), :
+            ].astype(jnp.float32)
+        parts = [r[0, :, pl.ds(t0, unroll), :] for r in retrieve_refs]
+        g_all = a_ref.shape[0]
+        return jnp.stack(parts, axis=1).reshape(
+            g_all, unroll, parts[0].shape[-1]
+        ).astype(jnp.float32)
 
     @pl.when(j == 0)
     def _():
@@ -300,11 +329,16 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             dwb_ref[...] = jnp.zeros_like(dwb_ref)
             dwc_ref[...] = jnp.zeros_like(dwc_ref)
 
+    def _chain_u(g):
+        # chain g's (T, dg) input: operand g % n_u, fold g // n_u
+        if n_u == 1:
+            return u_ref[0, g]
+        return u_refs[g % n_u][0, g // n_u]
+
     if proj:
         G = a_ref.shape[0]
-        u_all = u_ref[0]  # (G, T, dg) io dtype
         for g in range(G):
-            ug = u_all[g]
+            ug = _chain_u(g)
             d_scr[g] = jax.lax.dot_general(
                 ug, d_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -344,8 +378,8 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         t0 = pchunk(lc) * unroll
         d_raw, b_blk, c_blk = ld_dbc(t0)
         d_blk = _d_eff_blk(d_raw, bias_ref, softplus, has_bias)
-        u_blk = u_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
-        dy_blk = dy_ref[0, :, pl.ds(t0, unroll), :].astype(jnp.float32)
+        u_blk = _chains_blk(u_refs, t0)
+        dy_blk = _chains_blk(dy_refs, t0)
         du_blk = d_blk * u_blk
         b_t = jnp.swapaxes(b_blk, 1, 2)              # (G, N, U)
         c_t = jnp.swapaxes(c_blk, 1, 2)
@@ -361,7 +395,7 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 tp = pchunk(base + pj) * unroll
                 d_raw_p, b_p, _ = ld_dbc(tp)
                 d_p = _d_eff_blk(d_raw_p, bias_ref, softplus, has_bias)
-                u_p = u_ref[0, :, pl.ds(tp, unroll), :].astype(jnp.float32)
+                u_p = _chains_blk(u_refs, tp)
                 du_p = d_p * u_p
                 b_tp = jnp.swapaxes(b_p, 1, 2)
                 for k in ks:
@@ -462,7 +496,17 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             dd_raw = dd_eff
         if has_bias:
             dbias_scr[...] = dbias_scr[...] + jnp.sum(dd_raw, axis=1)
-        du_ref[0, :, pl.ds(t0, unroll), :] = du_blk_g.astype(du_ref.dtype)
+        if n_u > 1:
+            g_all, _, dgb = du_blk_g.shape
+            du_pair = du_blk_g.reshape(g_all // n_u, n_u, unroll, dgb)
+            for jj in range(n_u):
+                du_refs[jj][0, :, pl.ds(t0, unroll), :] = du_pair[
+                    :, jj
+                ].astype(du_refs[jj].dtype)
+        else:
+            du_ref[0, :, pl.ds(t0, unroll), :] = du_blk_g.astype(
+                du_ref.dtype
+            )
         if proj:
             dd_scr[:, pl.ds(t0, unroll), :] = dd_raw
             db_scr[:, pl.ds(t0, unroll), :] = dbs_g
@@ -490,7 +534,7 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         # — the MXU's native mode for bf16 streams)
         io = u_ref.dtype
         for g in range(a_ref.shape[0]):
-            u_g = u_ref[0, g]                        # (T, dg) io
+            u_g = _chain_u(g)                        # (T, dg) io
             dd_g = dd_scr[g].astype(io)              # (T, dg)
             db_g = db_scr[g].astype(io)              # (T, N)
             dc_g = dc_scr[g].astype(io)
@@ -508,9 +552,11 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 db_g, b_ref[g], cm, preferred_element_type=jnp.float32)
             chain = chain + jax.lax.dot_general(
                 dc_g, c_ref[g], cm, preferred_element_type=jnp.float32)
-            du_ref[0, g] = (
-                du_ref[0, g].astype(jnp.float32) + chain
-            ).astype(du_ref.dtype)
+            dref = du_refs[g % n_u] if n_u > 1 else du_ref
+            gi = g // n_u if n_u > 1 else g
+            dref[0, gi] = (
+                dref[0, gi].astype(jnp.float32) + chain
+            ).astype(dref.dtype)
     # dA_scr accumulated dh*ahp*dt; the cotangent w.r.t. the SCALED operand
     # a2 = A*log2e is that times ln2 (wrapper autodiff multiplies back by
     # log2e, recovering the true dA)
@@ -979,6 +1025,114 @@ def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
             dbias_b.sum(axis=0), dD_b.sum(axis=0))
 
 
+def _bwd_call_ml(us, wdt, a3, wb, wc, bias, dk, hck, dys,
+                 T, softplus, has_bias, has_d, interpret, reverse,
+                 swap_c=False):
+    """Multi-layout proj bwd: u/dy as per-layout operands, du per layout —
+    the stacked-shim u/dy stacks and the du split never exist in HBM.
+    Chain/hck/weight layouts identical to the stacked proj bwd.
+    Returns ((du0, du1, ...), dA, dwdt, dwb, dwc, dbias, dD)."""
+    n_u = len(us)
+    batch, f, L, dg = us[0].shape
+    G = f * n_u
+    N = a3.shape[1]
+    nl = L // T
+
+    def rev(j):
+        return nl - 1 - j
+
+    un = _unroll_for(G, dg, N)
+    ck = _ck_tokens(G, dg, N, T)
+    kernel = functools.partial(
+        _bwd_kernel, T=T, unroll=un, hoist=_hoist_for(G, dg, N, un),
+        softplus=softplus, has_bias=has_bias, has_d=has_d, reverse=reverse,
+        proj=True, ck_ratio=ck // un, swap_c=swap_c, n_u=n_u,
+    )
+
+    def blk3(b_, k, j):
+        return (b_, 0, j, k) if reverse else (b_, 0, rev(j), k)
+
+    def const3(b_, k, j):
+        return (0, 0, 0)
+
+    u_spec = pl.BlockSpec((1, f, T, dg), blk3, memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((G, dg), lambda b_, k, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((1, G, dg), lambda b_, k, j: (b_, 0, 0),
+                       memory_space=pltpu.VMEM)
+    amat = pl.BlockSpec((G, N, dg), const3, memory_space=pltpu.VMEM)
+    hck_spec = pl.BlockSpec((1, 1, T // ck, G, N, dg),
+                            lambda b_, k, j: (b_, rev(j), 0, 0, 0, k),
+                            memory_space=pltpu.VMEM)
+    dA_spec = pl.BlockSpec((1, G, N, dg), lambda b_, k, j: (b_, 0, 0, k),
+                           memory_space=pltpu.VMEM)
+    wdt_spec = pl.BlockSpec((G, dg, dg), const3, memory_space=pltpu.VMEM)
+    wbc_spec = pl.BlockSpec((G, dg, N), const3, memory_space=pltpu.VMEM)
+    base_scratch = [
+        pltpu.VMEM((G, N, dg), jnp.float32),   # dh carry
+        pltpu.VMEM((G, N, dg), jnp.float32),   # dA accumulator
+        pltpu.VMEM((G, dg), jnp.float32),      # dbias accumulator
+        pltpu.VMEM((G, dg), jnp.float32),      # dD accumulator
+        pltpu.VMEM((un, G, N, dg), jnp.float32),  # hloc stash
+    ]
+    hoist_scratch = (
+        [pltpu.VMEM((un, G, N, dg), jnp.float32)]
+        if _hoist_for(G, dg, N, un) else []
+    )
+    in_specs = [u_spec, wdt_spec, amat, wbc_spec, wbc_spec, vec, vec,
+                hck_spec, u_spec]
+    operands = [us[0], wdt, a3, wb, wc, bias, dk, hck, dys[0]]
+    for uj in us[1:]:
+        in_specs.append(u_spec)
+        operands.append(uj)
+    for dyj in dys[1:]:
+        in_specs.append(u_spec)
+        operands.append(dyj)
+    out_specs = [u_spec for _ in range(n_u)] + [
+        dA_spec,
+        pl.BlockSpec((1, G, dg, dg), lambda b_, k, j: (b_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, dg, N), lambda b_, k, j: (b_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, dg, N), lambda b_, k, j: (b_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        acc, acc,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, f, L, dg), us[0].dtype)
+        for _ in range(n_u)
+    ] + [
+        jax.ShapeDtypeStruct((batch, G, N, dg), jnp.float32),
+        jax.ShapeDtypeStruct((batch, G, dg, dg), jnp.float32),
+        jax.ShapeDtypeStruct((batch, G, dg, N), jnp.float32),
+        jax.ShapeDtypeStruct((batch, G, dg, N), jnp.float32),
+        jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
+        jax.ShapeDtypeStruct((batch, G, dg), jnp.float32),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, 1, nl),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=base_scratch + [
+            pltpu.VMEM((G, T, dg), jnp.float32),  # dt stream
+            pltpu.VMEM((G, T, N), jnp.float32),   # B stream
+            pltpu.VMEM((G, T, N), jnp.float32),   # C stream
+            pltpu.VMEM((G, T, dg), jnp.float32),  # dd_raw
+            pltpu.VMEM((G, T, N), jnp.float32),   # dB
+            pltpu.VMEM((G, T, N), jnp.float32),   # dC
+        ] + hoist_scratch,
+        compiler_params=_pallas_params(interpret),
+        interpret=interpret,
+    )(*operands)
+    dus = tuple(out[:n_u])
+    dA_b, dwdt_b, dwb_b, dwc_b, dbias_b, dD_b = out[n_u:]
+    return (dus, dA_b.sum(axis=0), dwdt_b.sum(axis=0),
+            dwb_b.sum(axis=0), dwc_b.sum(axis=0),
+            dbias_b.sum(axis=0), dD_b.sum(axis=0))
+
+
 _scan_core_g.defvjp(_scan_core_g_fwd, _scan_core_g_bwd)
 
 
@@ -1069,29 +1223,17 @@ def _scan_core_gpa_bwd(T, softplus, has_bias, has_d, interpret, reverse,
 _scan_core_gpa.defvjp(_scan_core_gpa_fwd, _scan_core_gpa_bwd)
 
 
-def _ml_stack(u0, u1):
-    """(B, f, L, dg) x2 -> (B, 2f, L, dg) in (fold, j) pair-adjacent chain
-    order — the layout the hck checkpoints were written in."""
-    b, f, L, dg = u0.shape
-    return jnp.stack([u0, u1], axis=2).reshape(b, 2 * f, L, dg)
-
-
 def _ml_bwd(res, dy, T, softplus, has_bias, has_d, interpret, reverse,
             swap_c):
-    """Shared bwd for the multi-layout cores: the bwd kernel keeps its
-    stacked interface (training-path stacks are the same traffic the
-    stacked fwd produced anyway); du is un-interleaved per layout."""
+    """Shared bwd for the multi-layout cores: u/dy feed the bwd kernel as
+    per-layout operands and du comes back per layout — no stacked-shim
+    HBM passes (each was a y-sized write+read+layout-fixup per SS2D bwd)."""
     u0, u1, wdt, wb, wc, a3, bias, dk, hck = res
-    b, f, L, dg = u0.shape
-    u_st = _ml_stack(u0, u1)
-    dy_st = _ml_stack(dy[0], dy[1])
-    du, dA, dwdt, dwb, dwc, dbias, dD = _bwd_call(
-        u_st, wdt, a3, wb, wc, bias, dk, hck, dy_st,
-        T, softplus, has_bias, has_d, interpret, reverse, proj=True,
-        swap_c=swap_c,
+    (du0, du1), dA, dwdt, dwb, dwc, dbias, dD = _bwd_call_ml(
+        (u0, u1), wdt, a3, wb, wc, bias, dk, hck, (dy[0], dy[1]),
+        T, softplus, has_bias, has_d, interpret, reverse, swap_c=swap_c,
     )
-    du4 = du.reshape(b, f, 2, L, dg)
-    return (du4[:, :, 0].astype(u0.dtype), du4[:, :, 1].astype(u1.dtype),
+    return (du0.astype(u0.dtype), du1.astype(u1.dtype),
             dwdt.astype(wdt.dtype), dwb.astype(wb.dtype),
             dwc.astype(wc.dtype), dA, dbias, dD)
 
