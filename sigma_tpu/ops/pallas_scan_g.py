@@ -57,6 +57,22 @@ _VMEM_LIMIT = 56 * 1024 * 1024
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
 
+# With bf16 io streams the fwd state checkpoints (hck — the dominant HBM
+# stream of training, 943MB/call at stage-1) and the bwd per-step stashes
+# (hloc/dhp, the dominant VMEM streams of the bwd chunk loop) are stored
+# bf16. The recurrences themselves (h fwd, dh bwd) stay fp32 — only the
+# saved copies consumed by bulk gradient PRODUCTS are rounded, so the error
+# is one rounding per product term (the bf16-matmul error class), not
+# compounding. fp32 io keeps fp32 state everywhere: the kernel-parity tests
+# pin fp32 grads at 2e-4 and stay exact.
+_BF16_STATE = True
+
+
+def _state_dtype(io_dtype):
+    if _BF16_STATE and io_dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
 
 def _unroll_for(g: int, dg: int, n_state: int) -> int:
     # the bwd state stash is (U, G, N, dg): halve U when the state is wide
@@ -229,7 +245,8 @@ def _fwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
                 # i*unroll+idx: the bwd kernel reads these instead of
                 # re-running the whole forward chain — halves its
                 # in-kernel recompute for ~0.4ms/call of HBM traffic
-                hck_ref[0, 0, i * (unroll // ck_every) + idx // ck_every] = h
+                hck_ref[0, 0, i * (unroll // ck_every) + idx // ck_every] = (
+                    h.astype(hck_ref.dtype))
             ct = c_t[:, :, k : k + 1]
             if hoist:
                 h = a_blk[:, k] * h + dub_blk[:, k]
@@ -386,10 +403,10 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
         # carry INTO logical chunk lc: checkpoints land every ck_ratio
         # chunks, so recompute the (at most ck_ratio-1 sub-chunk) gap
         if ck_ratio == 1:
-            h = hck_ref[0, 0, lc]
+            h = hck_ref[0, 0, lc].astype(jnp.float32)
         else:
             base = (lc // ck_ratio) * ck_ratio
-            h0 = hck_ref[0, 0, lc // ck_ratio]
+            h0 = hck_ref[0, 0, lc // ck_ratio].astype(jnp.float32)
 
             def pre_body(pj, hh):
                 tp = pchunk(base + pj) * unroll
@@ -420,12 +437,12 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             cdy_blk = jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :] \
                 * jnp.swapaxes(c_blk, 0, 1)[:, :, :, None]
             for k in ks:
-                hloc_scr[k] = h
+                hloc_scr[k] = h.astype(hloc_scr.dtype)
                 h = a_blk[k] * h + dub_blk[k]
             # dh chain: dhp[k] = dh_in + C_k dy_k ; dh_out = a_k * dhp[k]
             for k in reversed(ks):
                 dhp = dh + cdy_blk[k]
-                dhp_scr[k] = dhp
+                dhp_scr[k] = dhp.astype(dhp_scr.dtype)
                 dh = a_blk[k] * dhp
             dhp_all = dhp_scr[...]                   # (U, G, N, dg)
             hloc_all = hloc_scr[...]
@@ -451,7 +468,7 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             dcs_g = jnp.swapaxes(dcs_u, 0, 1)
         else:
             for k in ks:
-                hloc_scr[k] = h
+                hloc_scr[k] = h.astype(hloc_scr.dtype)
                 du = du_blk[:, k, :][:, None, :]
                 a_t = jnp.exp2(d_blk[:, k, :][:, None, :] * A)
                 h = a_t * h + du * b_t[:, :, k : k + 1]
@@ -692,7 +709,9 @@ def _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret, reverse=False,
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((batch, nl, nck, G, N, dg), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (batch, nl, nck, G, N, dg), _state_dtype(u.dtype)
+            )
         )
     if proj:
         assert ndg == 1  # projections contract over full dg
@@ -818,7 +837,9 @@ def _fwd_call_ml(us, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((batch, nl, nck, G, N, dg), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (batch, nl, nck, G, N, dg), _state_dtype(us[0].dtype)
+            )
         )
     out = pl.pallas_call(
         kernel,
@@ -925,17 +946,18 @@ def _bwd_call(u, d, a3, b, c, bias, dk, hck, dy,
                             memory_space=pltpu.VMEM)
     dA_spec = pl.BlockSpec((1, G, N, dgt), lambda b_, k, j: (b_, 0, 0, k),
                            memory_space=pltpu.VMEM)
+    sdt = _state_dtype(u.dtype)  # stash precision rides the io dtype
     base_scratch = [
         pltpu.VMEM((G, N, dgt), jnp.float32),   # dh carry
         pltpu.VMEM((G, N, dgt), jnp.float32),   # dA accumulator
         pltpu.VMEM((G, dgt), jnp.float32),      # dbias accumulator
         pltpu.VMEM((G, dgt), jnp.float32),      # dD accumulator
-        pltpu.VMEM((un, G, N, dgt), jnp.float32),  # hloc stash
+        pltpu.VMEM((un, G, N, dgt), sdt),       # hloc stash
     ]
     # the hoisted path additionally stashes the per-step dh-chain values so
     # every gradient product runs as one bulk (U, G, N, dg) tensor op
     hoist_scratch = (
-        [pltpu.VMEM((un, G, N, dgt), jnp.float32)]
+        [pltpu.VMEM((un, G, N, dgt), sdt)]
         if _hoist_for(G, dgt, N, un) else []
     )
 
@@ -1068,15 +1090,16 @@ def _bwd_call_ml(us, wdt, a3, wb, wc, bias, dk, hck, dys,
                            memory_space=pltpu.VMEM)
     wdt_spec = pl.BlockSpec((G, dg, dg), const3, memory_space=pltpu.VMEM)
     wbc_spec = pl.BlockSpec((G, dg, N), const3, memory_space=pltpu.VMEM)
+    sdt = _state_dtype(us[0].dtype)  # stash precision rides the io dtype
     base_scratch = [
         pltpu.VMEM((G, N, dg), jnp.float32),   # dh carry
         pltpu.VMEM((G, N, dg), jnp.float32),   # dA accumulator
         pltpu.VMEM((G, dg), jnp.float32),      # dbias accumulator
         pltpu.VMEM((G, dg), jnp.float32),      # dD accumulator
-        pltpu.VMEM((un, G, N, dg), jnp.float32),  # hloc stash
+        pltpu.VMEM((un, G, N, dg), sdt),       # hloc stash
     ]
     hoist_scratch = (
-        [pltpu.VMEM((un, G, N, dg), jnp.float32)]
+        [pltpu.VMEM((un, G, N, dg), sdt)]
         if _hoist_for(G, dg, N, un) else []
     )
     in_specs = [u_spec, wdt_spec, amat, wbc_spec, wbc_spec, vec, vec,

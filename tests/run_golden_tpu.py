@@ -19,6 +19,11 @@ jax.config.update(
     os.path.expanduser("~/.cache/sigma_tpu_xla"),
 )
 
+# TPU arithmetic does not vary by host ISA, so the on-chip check keeps the
+# tight reference envelope (the portable tier exists for cross-machine
+# XLA:CPU codegen variance; see test_golden_logits.check_against_fixture)
+os.environ.setdefault("GOLDEN_STRICT", "1")
+
 from test_golden_logits import check_against_fixture  # noqa: E402
 
 if __name__ == "__main__":
