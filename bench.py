@@ -186,13 +186,11 @@ def bench_train_step(batch=8, bf16=True, h=480, w=640, backbone=None):
 # ---------------------------------------------------------------- sections
 
 def _sec_flops(ctx):
-    """Forward MFU vs bf16 peak. Two FLOPs accountings are reported
-    (BASELINE.md "FLOPs accounting"): `fwd_gflops_xla_b8` counts every
-    HLO op; `fwd_gflops_analytic_b8` is the conventional model-FLOPs
-    number (matmuls/convs at 2MKN + the 9BLDN scan closed form) that the
-    reference's fvcore tooling and the BASELINE bar derivation use.
-    MFU uses the ANALYTIC number (the standard convention)."""
-    from sigma_tpu.utils.flops import analytic_flops, xla_flops
+    """Forward MFU vs bf16 peak, from the ANALYTIC model-FLOPs count
+    (matmuls/convs at 2MKN + the 9BLDN scan closed form — the convention
+    the reference's fvcore tooling and the BASELINE bar derivation use;
+    BASELINE.md "FLOPs accounting"). Shape-only jaxpr walk: no compile."""
+    from sigma_tpu.utils.flops import analytic_flops
 
     model, variables = ctx["model"], ctx["variables"]
 
@@ -200,15 +198,27 @@ def _sec_flops(ctx):
         return model.apply(v, a, b).astype(jnp.float32).sum()
 
     rgb = jnp.zeros((8, 480, 640, 3), jnp.float32)
-    fl_xla = xla_flops(fwd, variables, rgb, rgb)
     fl_an = analytic_flops(fwd, variables, rgb, rgb)
     return {
         "fwd_mfu_pct": round(
             fl_an * (ctx["fps_bf16"] / 8) / V5E_PEAK_BF16 * 100, 2
         ),
-        "fwd_gflops_xla_b8": round(fl_xla / 1e9, 1),
         "fwd_gflops_analytic_b8": round(fl_an / 1e9, 1),
     }
+
+
+def _sec_flops_xla(ctx):
+    """Every-HLO-op FLOPs per XLA's cost analysis (diagnostic; costs a
+    full extra model compile, so it runs last)."""
+    from sigma_tpu.utils.flops import xla_flops
+
+    model, variables = ctx["model"], ctx["variables"]
+
+    def fwd(v, a, b):
+        return model.apply(v, a, b).astype(jnp.float32).sum()
+
+    rgb = jnp.zeros((8, 480, 640, 3), jnp.float32)
+    return {"fwd_gflops_xla_b8": round(xla_flops(fwd, variables, rgb, rgb) / 1e9, 1)}
 
 
 def _sec_train_b8(ctx):
@@ -295,6 +305,7 @@ def main():
             value=round(fps_bf16, 3),
             unit="img/s",
             vs_baseline=round(fps_bf16 / BASELINE_IMG_PER_S, 3),
+            headline_wall_s=round(time.monotonic() - _T0, 1),
         )
     _emit()
 
@@ -304,15 +315,17 @@ def main():
     # by importance; a section only starts if the budget still covers its
     # estimate.  BENCH_<NAME>=0 skips a section explicitly.
     sections = [
-        ("flops", _sec_flops, 60),
-        ("train_b8", _sec_train_b8, 240),
-        ("base_fwd", _sec_base_fwd, 240),
-        ("eval", _sec_eval, 240),
-        ("fwd_fp32", _sec_fwd_fp32, 150),
-        ("fwd_b16", _sec_fwd_b16, 150),
-        ("base_train", _sec_base_train, 300),
+        ("flops", _sec_flops, 20),
+        ("train_b8", _sec_train_b8, 200),
+        ("base_fwd", _sec_base_fwd, 170),
+        ("eval", _sec_eval, 150),
+        ("fwd_fp32", _sec_fwd_fp32, 110),
+        ("fwd_b16", _sec_fwd_b16, 110),
+        ("base_train", _sec_base_train, 260),
+        ("flops_xla", _sec_flops_xla, 90),
     ]
     skipped = []
+    sec_times = {}
     for name, fn, est in sections:
         if os.environ.get(f"BENCH_{name.upper()}", "1") == "0":
             skipped.append(name + ":env")
@@ -320,12 +333,15 @@ def main():
         if _remaining() < est:
             skipped.append(name + ":deadline")
             continue
+        t_sec = time.monotonic()
         try:
             out = fn(ctx)
         except Exception as e:  # pragma: no cover
             out = {f"{name}_err": type(e).__name__}
+        sec_times[name] = round(time.monotonic() - t_sec, 1)
         with _result_lock:
             _result.update(out)
+            _result["sec_times"] = sec_times
             if skipped:
                 _result["skipped"] = ",".join(skipped)
         _emit()

@@ -120,17 +120,24 @@ class SlidingEvaluator:
             self._jitted[key] = fn
         return fn
 
-    def _extract(self, img_shape, x_ndim, pad_hw, margin, spans, wmargin,
+    def _extract(self, img_shape, x_ndim, pad_hw, margin, win_hw, wmargin,
                  bucket, n=1):
-        """uint8 scaled image -> normalized, zero-padded crop windows,
-        chunked and edge-padded to `bucket` windows per chunk."""
-        key = ("extract", img_shape, x_ndim, pad_hw, margin, spans, wmargin,
-               bucket, n)
+        """uint8 scaled image -> one chunk of `bucket` normalized,
+        zero-padded crop windows at RUNTIME offsets.
+
+        The window offsets arrive as a (bucket, 2) int32 array, so the
+        compiled graph is keyed only on (image shape, window shape,
+        bucket) — NOT on the span list. At big eval grids (PST900
+        720x1280, NYU 1.25x) every chunk of every scale previously
+        compiled its own graph; now all chunks of all same-geometry
+        scales share one."""
+        key = ("extract", img_shape, x_ndim, pad_hw, margin, win_hw,
+               wmargin, bucket, n)
         mean = self.norm_mean
         std = self.norm_std
 
         def builder():
-            def fn(img_u8, x_u8):
+            def fn(img_u8, x_u8, starts):
                 rgb = img_u8.astype(jnp.float32) / 255.0
                 rgb = (rgb - mean) / std
                 if x_ndim == 2:
@@ -151,8 +158,16 @@ class SlidingEvaluator:
                 )
                 rgb = jnp.pad(rgb, pad)
                 mx = jnp.pad(mx, pad)
-                wr = jnp.stack([rgb[sy:ey, sx:ex] for sy, ey, sx, ex in spans])
-                wx = jnp.stack([mx[sy:ey, sx:ex] for sy, ey, sx, ex in spans])
+                wh, ww = win_hw
+
+                def get(s):
+                    r = jax.lax.dynamic_slice(rgb, (s[0], s[1], 0),
+                                              (wh, ww, 3))
+                    x = jax.lax.dynamic_slice(mx, (s[0], s[1], 0),
+                                              (wh, ww, 3))
+                    return r, x
+
+                wr, wx = jax.vmap(get)(starts)
                 if wmargin != (0, 0, 0, 0):
                     # grid windows are (crop_w, crop_h)-shaped due to the
                     # reference's index swap; each is center-padded to at
@@ -167,22 +182,12 @@ class SlidingEvaluator:
                     )
                     wr = jnp.pad(wr, wpad)
                     wx = jnp.pad(wx, wpad)
-                # chunk to the bucket size; remainders repeat the last
-                # window (their scores are never accumulated)
-                chunks = []
-                for i in range(0, len(spans), bucket):
-                    cr, cx = wr[i : i + bucket], wx[i : i + bucket]
-                    short = bucket - cr.shape[0]
-                    if short:
-                        reps = (short,) + (1,) * (cr.ndim - 1)
-                        cr = jnp.concatenate([cr, jnp.tile(cr[-1:], reps)])
-                        cx = jnp.concatenate([cx, jnp.tile(cx[-1:], reps)])
-                    chunks.append((cr, cx))
-                return chunks
+                return wr, wx
 
             return fn
 
-        return self._graph(key, builder, n=n, in_axes=(0, 0))
+        # starts are shared across the vmapped image axis (same geometry)
+        return self._graph(key, builder, n=n, in_axes=(0, 0, None))
 
     def _window_scores(self, bucket, window_hw, n=1):
         """Batched model forward over one chunk of windows; flip TTA rides
@@ -207,34 +212,48 @@ class SlidingEvaluator:
 
         return self._graph(key, builder, n=n, in_axes=(None, 0, 0))
 
-    def _accumulate(self, canvas_hw, spans_chunk, wmargin, first, n=1):
+    def _accumulate(self, canvas_hw, win_hw, wmargin, first, bucket, n=1):
         """Crop each window score back to its span (undoing the per-window
-        center pad) and add it into the per-scale canvas."""
-        key = ("acc", canvas_hw, spans_chunk, wmargin, first, n)
+        center pad) and add it into the per-scale canvas at RUNTIME
+        offsets. `valid` masks out the bucket's edge-padding windows, so
+        one graph serves every chunk of a geometry (keyed on shapes only,
+        not the span list)."""
+        key = ("acc", canvas_hw, win_hw, wmargin, first, bucket, n)
         num_classes = self.class_num
 
         def builder():
             def fn(*args):
                 if first:
-                    (scores,) = args
+                    scores, starts, valid = args
                     canvas = jnp.zeros(
                         canvas_hw + (num_classes,), jnp.float32
                     )
                 else:
-                    canvas, scores = args
+                    canvas, scores, starts, valid = args
                 ph, pw = scores.shape[1:3]
-                for i, (sy, ey, sx, ex) in enumerate(spans_chunk):
-                    win = scores[i][
-                        wmargin[0] : ph - wmargin[1],
-                        wmargin[2] : pw - wmargin[3],
-                    ]
-                    canvas = canvas.at[sy:ey, sx:ex].add(win)
-                return canvas
+                wins = scores[
+                    :,
+                    wmargin[0] : ph - wmargin[1],
+                    wmargin[2] : pw - wmargin[3],
+                ] * valid[:, None, None, None]
+                wh, ww = wins.shape[1:3]
+
+                def body(i, cv):
+                    sy, sx = starts[i, 0], starts[i, 1]
+                    cur = jax.lax.dynamic_slice(
+                        cv, (sy, sx, 0), (wh, ww, num_classes)
+                    )
+                    return jax.lax.dynamic_update_slice(
+                        cv, cur + wins[i], (sy, sx, 0)
+                    )
+
+                return jax.lax.fori_loop(0, bucket, body, canvas)
 
             return fn
 
         return self._graph(
-            key, builder, n=n, in_axes=(0,) if first else (0, 0)
+            key, builder, n=n,
+            in_axes=(0, None, None) if first else (0, 0, None, None),
         )
 
     def _finalize(self, canvas_shape, margin, ori_shape, first_scale, n=1):
@@ -349,25 +368,42 @@ class SlidingEvaluator:
             rows, cols
         )
         bucket = 1 if len(spans) == 1 else max(1, int(self.window_batch))
+        win_hw = (spans[0][1] - spans[0][0], spans[0][3] - spans[0][2])
 
         extract = self._extract(
-            per_img, x_ndim, pad_hw, margin, spans, wmargin, bucket, n=n
+            per_img, x_ndim, pad_hw, margin, win_hw, wmargin, bucket, n=n
         )
-        chunks = extract(jnp.asarray(img), jnp.asarray(modal_x))
         score_fn = self._window_scores(bucket, window_hw, n=n)
+        img_d, x_d = jnp.asarray(img), jnp.asarray(modal_x)
+        all_starts = np.asarray(
+            [(sy, sx) for sy, _, sx, _ in spans], np.int32
+        )
 
         canvas = None
         if len(spans) == 1:
-            canvas = score_fn(variables, *chunks[0])  # ([n,] 1, ph, pw, C)
+            cr, cx = extract(img_d, x_d, jnp.asarray(all_starts))
+            canvas = score_fn(variables, cr, cx)  # ([n,] 1, ph, pw, C)
         else:
-            for ci, (cr, cx) in enumerate(chunks):
+            for ci in range(0, len(spans), bucket):
+                starts = all_starts[ci : ci + bucket]
+                n_valid = len(starts)
+                if n_valid < bucket:  # edge chunk: repeat the last offset,
+                    starts = np.concatenate(  # mask it out in accumulate
+                        [starts,
+                         np.repeat(starts[-1:], bucket - n_valid, axis=0)]
+                    )
+                valid = jnp.asarray(
+                    (np.arange(bucket) < n_valid).astype(np.float32)
+                )
+                starts_d = jnp.asarray(starts)
+                cr, cx = extract(img_d, x_d, starts_d)
                 scores = score_fn(variables, cr, cx)
-                chunk_spans = spans[ci * bucket : (ci + 1) * bucket]
                 acc_fn = self._accumulate(
-                    pad_hw, chunk_spans, wmargin, ci == 0, n=n
+                    pad_hw, win_hw, wmargin, ci == 0, bucket, n=n
                 )
                 canvas = (
-                    acc_fn(scores) if ci == 0 else acc_fn(canvas, scores)
+                    acc_fn(scores, starts_d, valid) if ci == 0
+                    else acc_fn(canvas, scores, starts_d, valid)
                 )
         fin = self._finalize(
             canvas.shape, margin, ori_shape, first_scale, n=n

@@ -164,6 +164,7 @@ def build_model(cfg) -> EncoderDecoder:
         decoder_embed_dim=getattr(cfg, "decoder_embed_dim", 512),
         deep_supervision=getattr(cfg, "deep_supervision", False),
         remat=getattr(cfg, "remat", True),
+        scan_chunk=getattr(cfg, "scan_chunk", 128),
         dtype=jnp.bfloat16 if getattr(cfg, "bf16", False) else jnp.float32,
     )
 

@@ -31,6 +31,7 @@ Layouts (channel-last, fp32 compute):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +66,25 @@ _LN2 = 0.6931471805599453
 # is one rounding per product term (the bf16-matmul error class), not
 # compounding. fp32 io keeps fp32 state everywhere: the kernel-parity tests
 # pin fp32 grads at 2e-4 and stay exact.
-_BF16_STATE = True
+#
+# DELIBERATE DEVIATION from the reference kernel: the CUDA bwd saves its
+# per-chunk scan states in fp32 even for bf16 inputs
+# (`selective_scan.cpp:225-228` allocates `x` as float), so bf16-training
+# gradients here carry one extra bf16 rounding per product term (A/B'd
+# <1e-2, inside test_pallas_scan_g's bf16 5e-2 envelope). When debugging
+# training parity against the reference, start from fp32 state:
+# SIGMA_BF16_STATE=0. Read ONCE at import (jit caches bake the value in;
+# flipping a mutable global after tracing would silently keep the stale
+# precision).
+_BF16_STATE = os.environ.get("SIGMA_BF16_STATE", "1") != "0"
+
+# Bulk gradient-product precision in the hoisted bwd chunk pass (only
+# active when the stash dtype is bf16, i.e. bf16 io + _BF16_STATE):
+#   0 — fp32 products (r4 behavior)
+#   1 — bf16 product operands, fp32 reduction accumulators
+#   2 — additionally run the h/dh recurrences on the bf16 a-factor
+# Read once at import (jit caches bake it in), like SIGMA_BF16_STATE.
+_BF16_PROD = int(os.environ.get("SIGMA_BF16_PROD", "0"))
 
 
 def _state_dtype(io_dtype):
@@ -429,39 +448,62 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             # product runs as ONE (U, G, N, dg) tensor op instead of U
             # small per-step ops — only the two genuinely sequential
             # recurrences (h fwd, dh bwd) stay in loops, at 1 FMA each
+            #
+            # pd: the bulk-product dtype. With bf16 stashes (_BF16_STATE
+            # on a bf16 stream) the (U, G, N, dg) product operands are
+            # kept bf16 too — the product passes are VMEM-bandwidth-bound
+            # and halve their traffic; reductions still accumulate fp32.
+            # _BF16_PROD=2 additionally runs the two recurrences on the
+            # bf16 a-factor (one more rounding in the recomputed h chain).
+            pd = hloc_scr.dtype if _BF16_PROD else jnp.float32
             d_u = jnp.swapaxes(d_blk, 0, 1)          # (U, G, dg)
             b_u = jnp.swapaxes(b_blk, 0, 1)          # (U, G, N)
             a_blk = jnp.exp2(d_u[:, :, None, :] * A[None])  # (U, G, N, dg)
-            dub_blk = jnp.swapaxes(du_blk, 0, 1)[:, :, None, :] \
+            a_rec = a_blk.astype(pd) if _BF16_PROD >= 2 else a_blk
+            a_pd = a_rec if _BF16_PROD >= 2 else a_blk.astype(pd)
+            dub_blk = (
+                jnp.swapaxes(du_blk, 0, 1)[:, :, None, :]
                 * b_u[:, :, :, None]
-            cdy_blk = jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :] \
+            ).astype(pd)
+            cdy_blk = (
+                jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :]
                 * jnp.swapaxes(c_blk, 0, 1)[:, :, :, None]
+            ).astype(pd)
             for k in ks:
                 hloc_scr[k] = h.astype(hloc_scr.dtype)
-                h = a_blk[k] * h + dub_blk[k]
+                h = a_rec[k] * h + dub_blk[k]
             # dh chain: dhp[k] = dh_in + C_k dy_k ; dh_out = a_k * dhp[k]
             for k in reversed(ks):
                 dhp = dh + cdy_blk[k]
                 dhp_scr[k] = dhp.astype(dhp_scr.dtype)
-                dh = a_blk[k] * dhp
+                dh = a_rec[k] * dhp
             dhp_all = dhp_scr[...]                   # (U, G, N, dg)
             hloc_all = hloc_scr[...]
-            ahp = a_blk * hloc_all
+            ahp = a_pd * hloc_all.astype(pd)
             h_t = ahp + dub_blk
-            dy_u = jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :]   # (U,G,1,dg)
-            du_u = jnp.swapaxes(du_blk, 0, 1)[:, :, None, :]
+            dy_u = jnp.swapaxes(dy_blk, 0, 1)[:, :, None, :].astype(pd)
+            du_u = jnp.swapaxes(du_blk, 0, 1)[:, :, None, :].astype(pd)
+            b_pd = b_u[:, :, :, None].astype(pd)
             # shared-factor algebra: du needs sum_N(dhp*dt*B) and ddelta
             # needs sum_N(dhp*(A*ahp + B*u)) — dt and u are N-independent,
             # so ONE reduce s1 = sum_N(dhp*B) feeds both (saves two full
             # (U,G,N,dg) products + one reduce per chunk vs the naive form)
-            s1 = jnp.sum(dhp_all * b_u[:, :, :, None], axis=2)  # (U, G, dg)
+            s1 = jnp.sum(
+                (dhp_all.astype(pd) * b_pd).astype(jnp.float32), axis=2
+            )                                        # (U, G, dg) fp32
             dus_u = d_u * s1
-            p = dhp_all * ahp
-            dds_u = jnp.sum(A_ln * p, axis=2) \
+            p = dhp_all.astype(pd) * ahp
+            dds_u = jnp.sum((A_ln.astype(pd) * p).astype(jnp.float32),
+                            axis=2) \
                 + jnp.swapaxes(u_blk, 0, 1) * s1
-            dA_acc = jnp.sum(p * d_u[:, :, None, :], axis=0)
-            dbs_u = jnp.sum(dhp_all * du_u, axis=3)            # (U, G, N)
-            dcs_u = jnp.sum(h_t * dy_u, axis=3)
+            dA_acc = jnp.sum(
+                (p * d_u[:, :, None, :].astype(pd)).astype(jnp.float32),
+                axis=0,
+            )
+            dbs_u = jnp.sum(
+                (dhp_all.astype(pd) * du_u).astype(jnp.float32), axis=3
+            )                                        # (U, G, N)
+            dcs_u = jnp.sum((h_t * dy_u).astype(jnp.float32), axis=3)
             du_blk_g = jnp.swapaxes(dus_u, 0, 1)               # (G, U, dg)
             dd_eff = jnp.swapaxes(dds_u, 0, 1)
             dbs_g = jnp.swapaxes(dbs_u, 0, 1)                  # (G, U, N)
@@ -583,19 +625,23 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
 
 
 def _block_t(g: int, dg: int, n_state: int, want: int, L: int,
-             proj: bool = False) -> int:
+             proj: bool = False, sb: int = 4) -> int:
     """Pick T: sized for the bwd VMEM budget, preferring divisors of L so
-    no L-padding pass is needed."""
-    state = 4 * g * n_state * dg
+    no L-padding pass is needed. `sb` is the state-stash byte width
+    (2 when _BF16_STATE rides a bf16 io stream): the hloc/dhp stashes and
+    the per-T hck blocks shrink with it, unlocking larger blocks."""
+    state = 4 * g * n_state * dg       # one (G, N, dg) fp32 value
+    state_sb = sb * g * n_state * dg   # one stash-dtype value
     u = _unroll_for(g, dg, n_state)
     hoist = _hoist_for(g, dg, n_state, u)
-    # hoisted (U, G, N, dg) values: a/dub/cdy blocks, the dhp stash, and
-    # the bulk-phase temporaries (ahp, h_t, dtb, btu) live together
-    a_fix = 8 * u * state if hoist else 0
-    # dh/dA/dbias/dD carries + hloc stash + hoisted a_blk + slack
-    fixed = 2 * state + u * state + a_fix + 6 * 1024 * 1024
+    # hoisted (U, G, N, dg) values: a/dub/cdy blocks and bulk-phase
+    # temporaries (ahp, h_t, dtb, btu) are fp32; the dhp stash is sb
+    a_fix = u * (7 * state + state_sb) if hoist else 0
+    # dh/dA/dbias/dD carries (fp32) + hloc stash (sb) + hoisted + slack
+    fixed = 2 * state + u * state_sb + a_fix + 6 * 1024 * 1024
     # per-T streams incl. the double-buffered per-chunk hck input blocks
-    per_t = 2 * 4 * g * (5 * dg + 4 * n_state) + 2 * state // u
+    # (hck is stored in the stash dtype)
+    per_t = 2 * 4 * g * (5 * dg + 4 * n_state) + 2 * state_sb // u
     if proj:
         # proj bwd: in-VMEM dt/dd (G,T,dg) f32 + B/C/dB/dC (G,T,N) f32
         # streams, plus the weights and per-batch weight-grad out blocks
@@ -625,7 +671,7 @@ def _pallas_params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _plan_g_layout(batch, G, N, dg, L, want, fold_batch):
+def _plan_g_layout(batch, G, N, dg, L, want, fold_batch, sb=4):
     """Choose (fold, dgt, T) for the streamed grouped kernel.
 
     The recurrence is independent per dg channel, so wide shapes split dg
@@ -650,7 +696,7 @@ def _plan_g_layout(batch, G, N, dg, L, want, fold_batch):
             eff_g = cand * G
             if 4 * eff_g * N * dgt > 1024 * 1024:
                 continue
-            T = _block_t(eff_g, dgt, N, want, L)
+            T = _block_t(eff_g, dgt, N, want, L, sb=sb)
             eff_t = min(T, 128) * L / (L + (-L) % T)
             key = (eff_t, eff_g, dgt)
             if best is None or key > best[0]:
@@ -1397,7 +1443,9 @@ def selective_scan_g(
     # (eff_g ~ 8 measured best: wider folds shrink T and quadruple the bwd
     # hck checkpoint), and tile dg for wide shapes. The planner scores
     # (fold, dgt, T) jointly against the VMEM model.
-    plan = _plan_g_layout(batch, G, N, dg, L, block_t, fold_batch)
+    plan = _plan_g_layout(batch, G, N, dg, L, block_t, fold_batch,
+                          sb=2 if _state_dtype(u.dtype) == jnp.bfloat16
+                          else 4)
     if plan is None:
         # nothing fits the grouped kernel's VMEM model: per-row kernel
         from sigma_tpu.ops.pallas_scan_seq import selective_scan_seq_cl
@@ -1449,7 +1497,7 @@ def selective_scan_g(
     return y.astype(dtype_in)
 
 
-def _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch):
+def _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch, sb=4):
     """Joint (fold, T) planner for the fused-projection kernel: folding
     batch into G adds ILP chains but multiplies the in-VMEM weight /
     weight-grad copies. Scored like _plan_g_layout: padding-discounted
@@ -1464,7 +1512,7 @@ def _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch):
             continue
         if 6 * cand * G * dg * dg > 12 * 1024 * 1024:
             continue
-        t_c = _block_t(cand * G, dg, n_planned, block_t, L, proj=True)
+        t_c = _block_t(cand * G, dg, n_planned, block_t, L, proj=True, sb=sb)
         eff_t = min(t_c, 128) * L / (L + (-L) % t_c)
         key = (eff_t, cand * G)
         if best is None or key > best[0]:
@@ -1517,7 +1565,9 @@ def selective_scan_g_proj(
     n_planned = N + ((-N) % 8)
 
     assert not swap_groups_c or G == 2, "C-swap needs exactly 2 groups"
-    plan = _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch)
+    plan = _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch,
+                      sb=2 if _state_dtype(u.dtype) == jnp.bfloat16
+                      else 4)
     if plan is None or (plan[2] < 64 and plan[2] < L):
         dts = jnp.einsum("bgld,gde->bgle", u, w_dt,
                          preferred_element_type=jnp.float32)
@@ -1639,7 +1689,9 @@ def selective_scan_g_proj_ml(
         interpret = jax.default_backend() != "tpu"
 
     n_planned = N + ((-N) % 8)
-    plan = _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch)
+    plan = _plan_proj(batch, G, dg, L, n_planned, block_t, fold_batch,
+                      sb=2 if _state_dtype(u0.dtype) == jnp.bfloat16
+                      else 4)
     if plan is None or (plan[2] < 64 and plan[2] < L):
         # stacked fallback (rejected shapes): same math
         u_st = jnp.stack([u0, u1], axis=1)

@@ -150,6 +150,11 @@ CASES = [
     ((100, 128), (40, 56), (1.0,), True, False),         # window grid
     ((100, 128), (40, 56), (0.75, 1.0, 1.25), False, True),  # grid + 2-D x
     ((50, 128), (40, 56), (1.0,), False, False),         # collapsed windows
+    # scaled-down PST900 geometry (720x1280 crop 480x640 => 2x3 grid with
+    # the same rows/cols-to-crop ratios)
+    ((90, 160), (60, 80), (1.0,), True, False),
+    # scaled-down NYU protocol: [0.75, 1, 1.25] + flip over a window grid
+    ((80, 104), (40, 56), (0.75, 1.0, 1.25), True, False),
 ]
 
 
@@ -176,3 +181,26 @@ def test_device_eval_matches_host_reference(img_hw, crop, scales, flip,
     ref_pred = want.argmax(2)
     # identical up to near-ties from resize rounding
     assert (pred == ref_pred).mean() > 0.999
+
+
+def test_graph_cache_keys_on_shapes_not_spans():
+    """Compile-time hardening: window extraction/accumulation graphs are
+    keyed on (image shape, window shape, bucket) with RUNTIME offsets —
+    every chunk of a grid, and every same-geometry scale, shares one
+    graph. A big grid (many chunks) must not grow the jit cache per
+    chunk."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (90, 160, 3), dtype=np.uint8)
+    mx = rng.integers(0, 255, (90, 160, 3), dtype=np.uint8)
+    ev = SlidingEvaluator(
+        FakeModel(), C, MEAN, STD, multi_scales=(1.0,), is_flip=False,
+        eval_crop_size=(40, 56), stride_rate=2 / 3, window_batch=2,
+    )
+    ev.sliding_eval(None, img, mx)
+    # 3x4 grid = 12 windows = 6 chunks of bucket 2; the old span-keyed
+    # scheme compiled 6+ accumulate graphs (one per chunk) — now: one
+    # extract, one first-accumulate, one rest-accumulate
+    n_extract = sum(1 for k in ev._jitted if k[0] == "extract")
+    n_acc = sum(1 for k in ev._jitted if k[0] == "acc")
+    assert n_extract == 1, sorted(ev._jitted)
+    assert n_acc == 2, sorted(ev._jitted)
