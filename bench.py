@@ -190,7 +190,7 @@ def _sec_flops(ctx):
     (matmuls/convs at 2MKN + the 9BLDN scan closed form — the convention
     the reference's fvcore tooling and the BASELINE bar derivation use;
     BASELINE.md "FLOPs accounting"). Shape-only jaxpr walk: no compile."""
-    from sigma_tpu.utils.flops import analytic_flops
+    from sigma_tpu.utils.flops import analytic_flops_split
 
     model, variables = ctx["model"], ctx["variables"]
 
@@ -198,12 +198,15 @@ def _sec_flops(ctx):
         return model.apply(v, a, b).astype(jnp.float32).sum()
 
     rgb = jnp.zeros((8, 480, 640, 3), jnp.float32)
-    fl_an = analytic_flops(fwd, variables, rgb, rgb)
+    mm, scans = analytic_flops_split(fwd, variables, rgb, rgb)
+    fl_an = mm + scans
     return {
         "fwd_mfu_pct": round(
             fl_an * (ctx["fps_bf16"] / 8) / V5E_PEAK_BF16 * 100, 2
         ),
         "fwd_gflops_analytic_b8": round(fl_an / 1e9, 1),
+        "fwd_gflops_mm_b8": round(mm / 1e9, 1),
+        "fwd_gflops_scan_b8": round(scans / 1e9, 1),
     }
 
 
@@ -314,15 +317,18 @@ def main():
     # (name, fn, cold-compile-inclusive cost estimate in seconds) — ordered
     # by importance; a section only starts if the budget still covers its
     # estimate.  BENCH_<NAME>=0 skips a section explicitly.
+    # estimates = measured cold section wall (sec_times, 2026-08-20 run:
+    # flops 9 / train 283 / base_fwd 138 / eval 152 / fp32 82 / b16 79 /
+    # base_train 382 / flops_xla 55) + ~20% margin
     sections = [
         ("flops", _sec_flops, 20),
-        ("train_b8", _sec_train_b8, 200),
+        ("train_b8", _sec_train_b8, 340),
         ("base_fwd", _sec_base_fwd, 170),
-        ("eval", _sec_eval, 150),
-        ("fwd_fp32", _sec_fwd_fp32, 110),
-        ("fwd_b16", _sec_fwd_b16, 110),
-        ("base_train", _sec_base_train, 260),
-        ("flops_xla", _sec_flops_xla, 90),
+        ("eval", _sec_eval, 190),
+        ("fwd_fp32", _sec_fwd_fp32, 100),
+        ("fwd_b16", _sec_fwd_b16, 100),
+        ("base_train", _sec_base_train, 430),
+        ("flops_xla", _sec_flops_xla, 80),
     ]
     skipped = []
     sec_times = {}

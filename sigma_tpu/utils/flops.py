@@ -150,18 +150,38 @@ def _jaxpr_mm_flops(jaxpr) -> int:
 
 
 def analytic_flops(fn, *args) -> float:
-    """Conventional model FLOPs: matmul/conv (2MKN) from the jaxpr plus the
-    selective scans' closed form (9BLDN + BDL) tallied by the wrappers.
-    Shape-only (jax.make_jaxpr): no device work."""
+    """Model FLOPs as executed: matmul/conv (2MKN) from the jaxpr plus the
+    scan wrappers' tally (closed-form 9BLDN + BDL, and — on the fused
+    in-kernel-projection TPU path — the dt/B/C MXU projections, which XLA's
+    cost analysis cannot see inside the Pallas call and which this
+    implementation deliberately widens: dt_proj is composed into x_proj,
+    dg->dg instead of dg->dt_rank, trading FLOPs for HBM traffic).
+    Shape-only (jax.make_jaxpr): no device work.
+
+    Robustness: the wrappers record at PYTHON trace time, so a prior trace
+    of the same function leaves jax's jaxpr cache warm and the body never
+    re-executes — the tally silently comes back empty (this undercounted
+    round-4's reported MFU). If that happens, clear the trace caches and
+    retrace once."""
+    return sum(analytic_flops_split(fn, *args))
+
+
+def analytic_flops_split(fn, *args):
+    """(matmul/conv flops, scan-tally flops) — see analytic_flops."""
     global _scan_tally
-    _scan_tally = []
-    try:
-        jaxpr = jax.make_jaxpr(fn)(*args)
-        mm = _jaxpr_mm_flops(jaxpr.jaxpr)
-        scans = sum(_scan_tally)
-    finally:
-        _scan_tally = None
-    return float(mm + scans)
+    for attempt in range(2):
+        _scan_tally = []
+        try:
+            jaxpr = jax.make_jaxpr(fn)(*args)
+            mm = _jaxpr_mm_flops(jaxpr.jaxpr)
+            scans = sum(_scan_tally)
+            n = len(_scan_tally)
+        finally:
+            _scan_tally = None
+        if n or attempt:
+            return float(mm), float(scans)
+        jax.clear_caches()  # trace cache swallowed the tally: retrace
+    return float(mm), float(scans)  # pragma: no cover
 
 
 def model_stats(model, variables, input_hw=(480, 640)) -> dict:
