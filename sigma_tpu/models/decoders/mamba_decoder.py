@@ -26,7 +26,9 @@ from sigma_tpu.models.common import (
     resize_bilinear,
     torch_linear_kernel_init,
 )
-from sigma_tpu.models.vssm import CVSSDecoderBlock, should_remat
+from sigma_tpu.models.vssm import (
+    CVSSDecoderBlock, remat_policy, should_remat,
+)
 
 Dtype = Any
 
@@ -225,7 +227,8 @@ class MambaUp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         block_cls = (
-            nn.remat(CVSSDecoderBlock, static_argnums=(2,))
+            nn.remat(CVSSDecoderBlock, static_argnums=(2,),
+                     policy=remat_policy())
             if should_remat(self.remat, x.shape[1] * x.shape[2])
             else CVSSDecoderBlock
         )

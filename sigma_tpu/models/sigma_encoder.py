@@ -20,7 +20,9 @@ from flax import linen as nn
 
 from sigma_tpu.models.common import LN_EPS
 from sigma_tpu.models.fusion import ConcatMambaFusionBlock, CrossMambaFusionBlock
-from sigma_tpu.models.vssm import VSSMBackbone, should_remat
+from sigma_tpu.models.vssm import (
+    VSSMBackbone, remat_policy, should_remat,
+)
 
 Dtype = Any
 
@@ -62,8 +64,10 @@ class SigmaEncoder(nn.Module):
         fused = []
         for i, o in enumerate(outs):
             if should_remat(self.remat, o.shape[1] * o.shape[2]):
-                cromb_cls = nn.remat(CrossMambaFusionBlock, static_argnums=(3,))
-                conmb_cls = nn.remat(ConcatMambaFusionBlock, static_argnums=(3,))
+                cromb_cls = nn.remat(CrossMambaFusionBlock, static_argnums=(3,),
+                                     policy=remat_policy())
+                conmb_cls = nn.remat(ConcatMambaFusionBlock, static_argnums=(3,),
+                                     policy=remat_policy())
             else:
                 cromb_cls = CrossMambaFusionBlock
                 conmb_cls = ConcatMambaFusionBlock

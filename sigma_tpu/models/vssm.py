@@ -14,6 +14,8 @@ layout — and the decoder consumes NHWC directly).
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Sequence, Union
 
 import jax
@@ -199,6 +201,26 @@ class _VSSBlockScanBody(nn.Module):
         return x, None
 
 
+# Save the scan kernels' residuals across remat boundaries (pallas_scan_g
+# names them 'scan_res'); everything else still rematerializes. Built to
+# stop the bwd pass re-running the forward scan kernels inside every remat
+# block (~12% of the train step, xprof 2026-08-20) — but MEASURED NEGATIVE
+# on the v5e and therefore OFF by default: train b8 8.32 -> 8.15 img/s
+# (300MB-thresholded) and b4 8.23 -> 8.19. The fwd-kernel recompute
+# overlaps with the VMEM-bandwidth-bound bwd kernels, so eliminating it
+# buys no wall time while the saved residuals add HBM pressure (saving
+# everything at b8 overshot the 15.75G HBM budget by 176MB). Kept as an
+# option for memory-rich parts / small models: SIGMA_REMAT_SAVE_SCAN=1
+# (+ the SIGMA_SCAN_RES_MAX_MB per-call cap in pallas_scan_g).
+_SAVE_SCAN_RES = os.environ.get("SIGMA_REMAT_SAVE_SCAN", "0") != "0"
+
+
+def remat_policy():
+    if _SAVE_SCAN_RES:
+        return jax.checkpoint_policies.save_only_these_names("scan_res")
+    return None
+
+
 def should_remat(remat, tokens: int) -> bool:
     """remat policy: bool passes through; an int is a token-count
     threshold (remat only the large-L blocks)."""
@@ -211,7 +233,7 @@ def vss_stage_scan(parent_kwargs, depth, drop_paths, remat, name):
     """Build the nn.scan-stacked stage module (length = depth)."""
     body = _VSSBlockScanBody
     if remat:
-        body = nn.remat(body, prevent_cse=False)
+        body = nn.remat(body, prevent_cse=False, policy=remat_policy())
     scanned = nn.scan(
         body,
         variable_axes={"params": 0},
@@ -379,7 +401,7 @@ class VSSMBackbone(nn.Module):
         for i, depth in enumerate(depths):
             stage_remat = should_remat(self.remat, x.shape[1] * x.shape[2])
             block_cls = (
-                nn.remat(VSSBlock, static_argnums=(2,))
+                nn.remat(VSSBlock, static_argnums=(2,), policy=remat_policy())
                 if stage_remat else VSSBlock
             )
             if depth >= self.scan_min_depth:
@@ -461,7 +483,8 @@ class VSSMClassifier(nn.Module):
         depths = list(self.depths)
         dpr = np.linspace(0.0, self.drop_path_rate, sum(depths))
         block_cls = (
-            nn.remat(VSSBlock, static_argnums=(2,)) if self.remat else VSSBlock
+            nn.remat(VSSBlock, static_argnums=(2,), policy=remat_policy())
+            if self.remat else VSSBlock
         )
 
         x = PatchEmbed(

@@ -455,6 +455,10 @@ def _bwd_kernel(u_ref, d_ref, a_ref, b_ref, c_ref, bias_ref, dk_ref,
             # and halve their traffic; reductions still accumulate fp32.
             # _BF16_PROD=2 additionally runs the two recurrences on the
             # bf16 a-factor (one more rounding in the recomputed h chain).
+            # (ahp/h_t stashed from the loop registers instead of h_prev
+            # was tried: −0.8ms on the stage-1 ml micro-bench but −2% on
+            # the full train step — the extra in-loop store traffic hurts
+            # the other shapes more than the removed bulk passes save.)
             pd = hloc_scr.dtype if _BF16_PROD else jnp.float32
             d_u = jnp.swapaxes(d_blk, 0, 1)          # (U, G, dg)
             b_u = jnp.swapaxes(b_blk, 0, 1)          # (U, G, N)
@@ -911,6 +915,46 @@ def _fwd_call_ml(us, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
     return ys, (out[n_u] if with_hck else None)
 
 
+# Per-call cap on saveable scan residuals: calls whose residual set
+# exceeds this stay fully rematerialized. 300MB keeps the three ~354MB
+# stage-1 sets (2 VSSBlock SS2Ds + the ConMB, sigma_tiny 480x640 b8) on
+# the recompute path — saving everything overshot the v5e's 15.75G HBM
+# budget by 176MB.
+_SCAN_RES_MAX_BYTES = int(
+    float(os.environ.get("SIGMA_SCAN_RES_MAX_MB", "300")) * (1 << 20)
+)
+
+
+def _name_res(res):
+    """Mark scan residuals remat-saveable (checkpoint_name 'scan_res').
+
+    Under the models' save-scan-residuals remat policy
+    (sigma_tpu/models/vssm.py:remat_policy) the bwd pass reads u/weights/
+    hck from HBM instead of re-running the forward scan kernel (and its
+    upstream chain) inside the rematerialized block — measured ~12% of
+    the train step. With the default jax.checkpoint policy the names are
+    inert identities. Calls above _SCAN_RES_MAX_BYTES are left unnamed
+    (recomputed) to bound the residual footprint."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    from sigma_tpu.models.vssm import _SAVE_SCAN_RES
+
+    if not _SAVE_SCAN_RES:
+        # no-op unless the saving policy is active: the name_p identities
+        # are not free — they pin the residual values and can block XLA
+        # fusions around them
+        return res
+    total = sum(
+        x.size * x.dtype.itemsize for x in res if x is not None
+    )
+    if total > _SCAN_RES_MAX_BYTES:
+        return res
+    return tuple(
+        checkpoint_name(x, "scan_res") if x is not None else None
+        for x in res
+    )
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
 )
@@ -927,7 +971,7 @@ def _scan_core_g_fwd(u, d, a3, b, c, bias, dk,
     flags = dict(softplus=softplus, has_bias=has_bias, has_d=has_d)
     y, hck = _fwd_call(u, d, a3, b, c, bias, dk, T, flags, interpret,
                        reverse, dgt=dgt)
-    return y, (u, d, a3, b, c, bias, dk, hck)
+    return y, _name_res((u, d, a3, b, c, bias, dk, hck))
 
 
 def _scan_core_g_bwd(T, dgt, softplus, has_bias, has_d, interpret, reverse,
@@ -1225,7 +1269,7 @@ def _scan_core_gp_fwd(u, wdt, wb, wc, a3, bias, dk,
                  swap_c=swap_c)
     y, hck = _fwd_call(u, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
                        reverse, with_hck=True, proj=True)
-    return y, (u, wdt, wb, wc, a3, bias, dk, hck)
+    return y, _name_res((u, wdt, wb, wc, a3, bias, dk, hck))
 
 
 def _scan_core_gp_bwd(T, softplus, has_bias, has_d, interpret, reverse,
@@ -1271,7 +1315,7 @@ def _scan_core_gpa_fwd(u, wdt, wb, wc, a3, bias, dk, y_acc,
                  swap_c=swap_c)
     y, hck = _fwd_call(u, wdt, a3, wb, wc, bias, dk, T, flags, interpret,
                        reverse, with_hck=True, proj=True, y_accum=y_acc)
-    return y, (u, wdt, wb, wc, a3, bias, dk, hck)
+    return y, _name_res((u, wdt, wb, wc, a3, bias, dk, hck))
 
 
 def _scan_core_gpa_bwd(T, softplus, has_bias, has_d, interpret, reverse,
@@ -1327,7 +1371,7 @@ def _scan_core_gp_ml_fwd(u0, u1, wdt, wb, wc, a3, bias, dk,
                  swap_c=swap_c)
     ys, hck = _fwd_call_ml((u0, u1), wdt, a3, wb, wc, bias, dk, T, flags,
                            interpret, reverse, with_hck=True)
-    return ys, (u0, u1, wdt, wb, wc, a3, bias, dk, hck)
+    return ys, _name_res((u0, u1, wdt, wb, wc, a3, bias, dk, hck))
 
 
 def _scan_core_gp_ml_bwd(T, softplus, has_bias, has_d, interpret, reverse,
@@ -1361,7 +1405,7 @@ def _scan_core_gp_mla_fwd(u0, u1, wdt, wb, wc, a3, bias, dk, ya0, ya1,
     ys, hck = _fwd_call_ml((u0, u1), wdt, a3, wb, wc, bias, dk, T, flags,
                            interpret, reverse, with_hck=True,
                            y_accs=(ya0, ya1))
-    return ys, (u0, u1, wdt, wb, wc, a3, bias, dk, hck)
+    return ys, _name_res((u0, u1, wdt, wb, wc, a3, bias, dk, hck))
 
 
 def _scan_core_gp_mla_bwd(T, softplus, has_bias, has_d, interpret, reverse,
