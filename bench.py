@@ -285,6 +285,12 @@ def _sec_base_train(ctx):
     }
 
 
+def _sec_train_b16(ctx):
+    """Large-batch training point (measured ~on par with b8: the step is
+    device-bound, so there is no fixed-cost amortization to collect)."""
+    return {"train_img_s_b16": round(bench_train_step(16, True), 2)}
+
+
 def main():
     try:
         jax.config.update(
@@ -328,6 +334,7 @@ def main():
         ("fwd_fp32", _sec_fwd_fp32, 100),
         ("fwd_b16", _sec_fwd_b16, 100),
         ("base_train", _sec_base_train, 430),
+        ("train_b16", _sec_train_b16, 320),
         ("flops_xla", _sec_flops_xla, 80),
     ]
     skipped = []

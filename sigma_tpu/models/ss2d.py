@@ -21,6 +21,7 @@ merged-K kernel invocation while giving XLA one big fused region.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -37,6 +38,7 @@ from sigma_tpu.models.common import (
     trunc_normal_init,
 )
 from sigma_tpu.ops import selective_scan_cl
+from sigma_tpu.ops.pallas_merge_ln_gate import merge_ln_gate
 from sigma_tpu.ops.pallas_scan_g import (
     selective_scan_g,
     selective_scan_g_proj,
@@ -44,6 +46,30 @@ from sigma_tpu.ops.pallas_scan_g import (
 )
 
 Dtype = Any
+
+# Fused SS2D epilogue (merge + out_norm + silu gate in one Pallas pass,
+# ops/pallas_merge_ln_gate.py) on TPU. MEASURED SLOWER than XLA's own
+# fusion of the chain and therefore OFF by default: fwd 43.2 -> 41.7
+# img/s at b8 bf16, tile-shape-insensitive — XLA's relayout + LN + gate
+# fusions (each at 350-670 GB/s) already overlap better than one Pallas
+# pass with an in-VMEM transpose. Kept (with full parity tests) as the
+# springboard for an epilogue that also absorbs out_proj on the MXU.
+# Read once at import (jit caches bake it in).
+_FUSED_EPILOGUE = os.environ.get("SIGMA_FUSED_EPILOGUE", "0") != "0"
+
+
+class _LNParams(nn.Module):
+    """LayerNorm affine params only — param tree identical to
+    nn.LayerNorm ({scale, bias}) so the fused-epilogue path shares
+    checkpoints with the unfused one."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
 
 
 def _auto(v, d_model, div):
@@ -289,13 +315,24 @@ class SS2D(nn.Module):
         hw = xx.reshape(b, l, d_inner)
         wh = jnp.swapaxes(xx, 1, 2).reshape(b, l, d_inner)
         y_hw, y_wh = params.project_scan((hw, wh), self.scan_chunk)
-        # complete CrossMerge: un-transpose the wh layout and sum
-        y = y_hw.reshape(b, h, w, d_inner) + jnp.swapaxes(
-            y_wh.reshape(b, w, h, d_inner), 1, 2
-        )
-        y = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm")(y)
+        if _FUSED_EPILOGUE and jax.default_backend() == "tpu":
+            # one Pallas pass: un-transpose merge + out_norm + silu gate
+            # (both layouts read once; the relayout copy, the LN fusion,
+            # and the gate fusion never round-trip HBM separately)
+            gamma, beta = _LNParams(d_inner, name="out_norm")()
+            y = merge_ln_gate(
+                y_hw.reshape(b, h, w, d_inner),
+                y_wh.reshape(b, w, h, d_inner),
+                z, gamma, beta, self.ln_eps, False,
+            )
+        else:
+            # complete CrossMerge: un-transpose the wh layout and sum
+            y = y_hw.reshape(b, h, w, d_inner) + jnp.swapaxes(
+                y_wh.reshape(b, w, h, d_inner), 1, 2
+            )
+            y = nn.LayerNorm(epsilon=self.ln_eps, name="out_norm")(y)
 
-        y = y * nn.silu(z)
+            y = y * nn.silu(z)
         out = nn.Dense(
             self.d_model,
             use_bias=self.bias,
