@@ -334,11 +334,18 @@ def test_evaluator_multi_device_batch(synth_dataset):
     h0, w0 = items[0]["data"].shape[:2]
     pad_hw, margin, spans, window_hw, wmargin = evn._scale_geometry(h0, w0)
     bucket = 1 if len(spans) == 1 else evn.window_batch
+    win_hw = (spans[0][1] - spans[0][0], spans[0][3] - spans[0][2])
     extract = evn._extract(
-        (h0, w0, 3), 3, pad_hw, margin, spans, wmargin, bucket, n=ndev
+        (h0, w0, 3), 3, pad_hw, margin, win_hw, wmargin, bucket, n=ndev
     )
-    chunks = extract(img, mx)
-    sharding = chunks[0][0].sharding
+    starts = np.asarray([(sy, sx) for sy, _, sx, _ in spans], np.int32)
+    starts = starts[:bucket]
+    if len(starts) < bucket:
+        starts = np.concatenate(
+            [starts, np.repeat(starts[-1:], bucket - len(starts), axis=0)]
+        )
+    cr, _cx = extract(img, mx, jnp.asarray(starts))
+    sharding = cr.sharding
     assert len(sharding.device_set) == ndev, sharding
 
 
