@@ -46,8 +46,14 @@ def _host_fingerprint() -> str:
                     break
     except OSError:
         pass
+    # the virtual device count changes XLA:CPU partitioning/codegen, so
+    # a fixture generated under the 8-device test env only strict-matches
+    # runs under the same env
+    xla = os.environ.get("XLA_FLAGS", "")
+    dev = "".join(f for f in xla.split()
+                  if "host_platform_device_count" in f)
     return hashlib.sha256(
-        (platform.machine() + "|" + flags).encode()
+        (platform.machine() + "|" + dev + "|" + flags).encode()
     ).hexdigest()[:16]
 
 
@@ -89,26 +95,24 @@ def check_against_fixture():
     math bug (O(0.1+) diffs, argmax flips) or a dtype regression in the
     fp32 path.
 
-    Strict tier (GOLDEN_STRICT=1, or AUTOMATIC when this host's ISA
-    fingerprint matches the one recorded in the fixture at --regen): the
-    reference envelope rtol 6e-4 / atol 2e-3
-    (selective_scan/test_selective_scan.py:148) — valid on the machine
-    class that generated the fixture and for the on-chip run (TPU
-    arithmetic does not vary by host ISA). GOLDEN_STRICT=0 forces the
-    portable tier.
+    Strict tier (GOLDEN_STRICT=1, opt-in): the reference envelope
+    rtol 6e-4 / atol 2e-3 (selective_scan/test_selective_scan.py:148) —
+    valid immediately after --regen in the SAME cache state, and for the
+    on-chip run (TPU arithmetic does not vary by host). Auto-enabling by
+    host fingerprint was tried and REVERTED: on one physical host the
+    logits differ by ~2e-2 between a freshly compiled executable and the
+    same program loaded from the persistent AOT cache (the
+    cpu_aot_loader feature-view mismatch changes FMA/reduction order) —
+    the variance is cache-state-dependent, not just cross-host, so 3e-2
+    is the honest cross-context invariant. The fingerprint is still
+    recorded in the fixture for diagnostics.
     """
     data = np.load(FIXTURE)
     logits, rgb, mx = compute_logits()
     np.testing.assert_array_equal(rgb, data["rgb"])
     np.testing.assert_array_equal(mx, data["modal_x"])
     ref = data["logits"]
-    env = os.environ.get("GOLDEN_STRICT")
-    strict = env == "1" or (
-        env != "0"
-        and "host" in data
-        and str(data["host"]) == _host_fingerprint()
-    )
-    if strict:
+    if os.environ.get("GOLDEN_STRICT") == "1":
         np.testing.assert_allclose(
             logits, ref, rtol=6e-4, atol=2e-3,
             err_msg="full-model logits drifted from the golden fixture",
@@ -137,6 +141,15 @@ if __name__ == "__main__":
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    # regen under the SAME env the pytest suite uses (tests/conftest.py):
+    # the 8-device CPU flag perturbs codegen enough to break the strict
+    # tier otherwise
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
     if "--regen" in sys.argv:
         logits, rgb, mx = compute_logits()
         os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)

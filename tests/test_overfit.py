@@ -54,11 +54,18 @@ def overfit_root(tmp_path_factory):
 
 @pytest.mark.slow
 def test_overfit_train_miou(overfit_root, tmp_path):
-    import train as train_mod
+    import subprocess
+    import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     log_dir = str(tmp_path / "log")
     epochs = 60
-    rc = train_mod.main([
+    # run the REAL CLI in its own process: true end-to-end (argv parsing
+    # included), and it isolates the persistent-cache write of the huge
+    # CPU train-step executable — writing it from the long-lived pytest
+    # process segfaulted inside jax's cache serialization (reproduced
+    # twice at the same spot in full-suite runs)
+    argv = [
         "-n", "mfnet",
         "--dataset-path", overfit_root,
         "--backbone", "sigma_test",
@@ -80,8 +87,22 @@ def test_overfit_train_miou(overfit_root, tmp_path):
         # are mesh-independent and the mesh path is covered by
         # test_engine/test_multiprocess
         "--override", "mesh_shape=(1,)",
-    ])
-    assert not rc
+    ]
+    env = dict(os.environ)
+    env["SIGMA_FORCE_PLATFORM"] = "cpu"
+    env["SIGMA_TPU_COMPILE_CACHE"] = os.environ.get(
+        "SIGMA_TPU_TEST_CACHE",
+        os.path.expanduser("~/.cache/sigma_tpu_test_xla"),
+    )
+    # keep the conftest's 8-device XLA_FLAGS: the mesh is (1,) either
+    # way and matching the env reuses warm cache entries
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "train.py")] + argv,
+        env=env, cwd=repo, capture_output=True, text=True,
+        timeout=int(os.environ.get("OVERFIT_TEST_TIMEOUT", "2400")),
+    )
+    rc = proc.returncode
+    assert not rc, f"train.py rc={rc}\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
     val = os.path.join(log_dir, f"val_epoch_{epochs}.log")
     assert os.path.exists(val)
     text = open(val).read()

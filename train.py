@@ -75,6 +75,15 @@ def _enable_compilation_cache():
 
 def main(argv=None):
     args = parse_args(argv)
+    # CPU-simulation runs (tests, smoke): this environment's TPU plugin
+    # ignores the JAX_PLATFORMS env var, so honor an explicit request via
+    # jax.config before first backend use
+    force = os.environ.get("SIGMA_FORCE_PLATFORM")
+    if force:
+        try:
+            jax.config.update("jax_platforms", force)
+        except Exception:
+            pass
     _enable_compilation_cache()
     if args.distributed:
         jax.distributed.initialize()
