@@ -18,7 +18,14 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the suite re-jits the same programs every run
+# persistent compile cache: the suite re-jits the same programs every run.
+# READ-ONLY here: serializing large CPU executables from the long-lived
+# pytest process aborted inside jax's cache write (reproduced at three
+# different tests across three full-suite runs — always in
+# compilation_cache.put_executable_and_time). Reads still hit; the cache
+# is WARMED by the subprocess runs (test_overfit's train.py CLI, the
+# multiprocess workers, the multichip dryrun), which write safely from
+# short-lived processes.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get(
@@ -26,4 +33,4 @@ jax.config.update(
         os.path.expanduser("~/.cache/sigma_tpu_test_xla"),
     ),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
