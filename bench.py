@@ -291,6 +291,14 @@ def _sec_train_b16(ctx):
     return {"train_img_s_b16": round(bench_train_step(16, True), 2)}
 
 
+def _sec_latency_b1(ctx):
+    """Single-image serving latency (the reference's robotics use case):
+    one fwd at batch 1, dispatch overhead excluded by the loop-difference
+    method like the headline."""
+    fps1, _, _ = bench_fwd("sigma_tiny", 1, bf16=True)
+    return {"fwd_latency_b1_ms": round(1000.0 / fps1, 1)}
+
+
 def main():
     try:
         jax.config.update(
@@ -335,6 +343,7 @@ def main():
         ("fwd_b16", _sec_fwd_b16, 100),
         ("base_train", _sec_base_train, 430),
         ("train_b16", _sec_train_b16, 320),
+        ("latency_b1", _sec_latency_b1, 110),
         ("flops_xla", _sec_flops_xla, 80),
     ]
     skipped = []
