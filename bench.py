@@ -339,7 +339,7 @@ def main():
         ("train_b8", _sec_train_b8, 340),
         ("base_fwd", _sec_base_fwd, 170),
         ("eval", _sec_eval, 190),
-        ("fwd_fp32", _sec_fwd_fp32, 100),
+        ("fwd_fp32", _sec_fwd_fp32, 210),
         ("fwd_b16", _sec_fwd_b16, 100),
         ("base_train", _sec_base_train, 430),
         ("train_b16", _sec_train_b16, 320),
